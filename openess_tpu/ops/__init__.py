@@ -1,0 +1,15 @@
+from openess_tpu.ops.voxelize import (
+    event_histogram,
+    normalize_nonzero,
+    voxel_grid_bilinear_t,
+    voxel_grid_trilinear,
+    voxelize_windows_trilinear,
+)
+
+__all__ = [
+    "event_histogram",
+    "normalize_nonzero",
+    "voxel_grid_bilinear_t",
+    "voxel_grid_trilinear",
+    "voxelize_windows_trilinear",
+]
