@@ -1,0 +1,139 @@
+"""Superpixel segment-mean pooling — the F2E distillation hot op.
+
+The reference pools per-pixel features into per-superpixel means with a sparse
+COO one-hot matmul on GPU (``training/pretrain_trainer.py:487-507``). The
+TPU-native forms here:
+
+- :func:`segment_mean_pool`        — ``jax.ops.segment_sum`` reference impl.
+- :func:`segment_mean_pool_pallas` — MXU kernel: the one-hot is materialized
+  on the fly per pixel-chunk in VMEM and contracted with the feature chunk on
+  the systolic array, accumulating ``[num_segments, D]`` partial sums. This
+  turns a 2M-element scatter (serialized on TPU) into a dense chunked matmul.
+
+Both return ``(means, counts)`` where ``means = sums / (counts + eps)``,
+matching the reference's ``+1e-6`` denominator. Empty segments yield zero
+rows exactly as in the reference.
+
+Inputs are NHWC: ``feats [B, H, W, D]``, ``seg_ids [B, H, W]`` with values in
+``[0, segments_per_image)``; batch offsets are applied internally
+(reference: pretrain_trainer.py:487-490).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _flatten_with_batch_offset(feats: Array, seg_ids: Array, segments_per_image: int):
+    b, h, w, d = feats.shape
+    offsets = (jnp.arange(b, dtype=seg_ids.dtype) * segments_per_image)[:, None, None]
+    ids_flat = (seg_ids + offsets).reshape(-1)
+    feats_flat = feats.reshape(-1, d)
+    return feats_flat, ids_flat, b * segments_per_image
+
+
+@functools.partial(jax.jit, static_argnames=("segments_per_image",))
+def segment_mean_pool(
+    feats: Array, seg_ids: Array, *, segments_per_image: int, eps: float = 1e-6
+) -> tuple[Array, Array]:
+    """segment_sum reference implementation (XLA scatter-add)."""
+    feats_flat, ids_flat, num_segments = _flatten_with_batch_offset(
+        feats, seg_ids, segments_per_image
+    )
+    sums = jax.ops.segment_sum(feats_flat, ids_flat, num_segments=num_segments)
+    counts = jax.ops.segment_sum(
+        jnp.ones((ids_flat.shape[0],), feats_flat.dtype),
+        ids_flat,
+        num_segments=num_segments,
+    )
+    means = sums / (counts[:, None] + eps)
+    return means, counts
+
+
+def _pool_kernel(
+    ids_ref, feats_ref, sums_ref, counts_ref, *, num_segments: int, precision
+):
+    """One grid step: accumulate one pixel-chunk's one-hot.T @ feats on the MXU."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+        counts_ref[:] = jnp.zeros_like(counts_ref)
+
+    ids = ids_ref[:]  # [chunk, 1] int32
+    chunk = ids.shape[0]
+    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, num_segments), 1)
+    onehot = (ids == seg_iota).astype(jnp.float32)  # [chunk, S]
+    feats = feats_ref[:].astype(jnp.float32)  # [chunk, D]
+    sums_ref[:] += jax.lax.dot_general(
+        onehot,
+        feats,
+        dimension_numbers=(((0,), (0,)), ((), ())),  # contract over chunk
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    counts_ref[:] += jnp.sum(onehot, axis=0, keepdims=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("segments_per_image", "chunk", "precision")
+)
+def segment_mean_pool_pallas(
+    feats: Array,
+    seg_ids: Array,
+    *,
+    segments_per_image: int,
+    eps: float = 1e-6,
+    chunk: int = 1024,
+    precision=None,
+) -> tuple[Array, Array]:
+    """MXU one-hot-matmul pooling. Same contract as :func:`segment_mean_pool`.
+
+    Pixels whose padded tail falls past B*H*W are redirected to a sentinel
+    row that is sliced off, so arbitrary (non-chunk-multiple) sizes work.
+
+    ``precision=None`` uses the fast MXU path (bf16 multiplicands, f32
+    accumulation — plenty for the contrastive loss); pass
+    ``jax.lax.Precision.HIGHEST`` for f32-exact sums.
+    """
+    feats_flat, ids_flat, num_segments = _flatten_with_batch_offset(
+        feats, seg_ids, segments_per_image
+    )
+    n, d = feats_flat.shape
+    # Pad segments to the lane width; pad pixels to the chunk size with a
+    # sentinel segment id pointing at the padded region.
+    s_pad = max(128, ((num_segments + 1 + 127) // 128) * 128)
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    ids_p = jnp.full((n_pad, 1), num_segments, jnp.int32)
+    ids_p = ids_p.at[:n, 0].set(ids_flat.astype(jnp.int32))
+    feats_p = jnp.zeros((n_pad, d), feats_flat.dtype).at[:n].set(feats_flat)
+
+    grid = n_pad // chunk
+    sums, counts = pl.pallas_call(
+        functools.partial(_pool_kernel, num_segments=s_pad, precision=precision),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((s_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((s_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
+        ),
+    )(ids_p, feats_p)
+
+    sums = sums[:num_segments]
+    counts = counts[0, :num_segments]
+    means = sums / (counts[:, None] + eps)
+    return means.astype(feats.dtype), counts.astype(feats.dtype)

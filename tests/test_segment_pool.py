@@ -1,0 +1,60 @@
+"""Segment pooling: jnp vs Pallas (interpret mode on CPU) vs numpy oracle."""
+import jax
+import numpy as np
+
+from openess_tpu.ops.segment_pool import segment_mean_pool, segment_mean_pool_pallas
+
+
+def np_pool(feats, seg_ids, S, eps=1e-6):
+    B, H, W, D = feats.shape
+    ids = (seg_ids + np.arange(B)[:, None, None] * S).reshape(-1)
+    f = feats.reshape(-1, D).astype(np.float64)
+    sums = np.zeros((B * S, D))
+    counts = np.zeros(B * S)
+    np.add.at(sums, ids, f)
+    np.add.at(counts, ids, 1)
+    return (sums / (counts[:, None] + eps)).astype(np.float32), counts
+
+
+def test_segment_mean_pool_matches_numpy(rng):
+    B, H, W, D, S = 2, 17, 23, 32, 20
+    feats = rng.normal(size=(B, H, W, D)).astype(np.float32)
+    seg = rng.integers(0, S, size=(B, H, W)).astype(np.int32)
+    means, counts = segment_mean_pool(feats, seg, segments_per_image=S)
+    ref_means, ref_counts = np_pool(feats, seg, S)
+    np.testing.assert_allclose(np.asarray(means), ref_means, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(counts), ref_counts, atol=0)
+
+
+def test_segment_mean_pool_empty_segments_are_zero(rng):
+    B, H, W, D, S = 1, 8, 8, 4, 50  # only ids 0..3 used -> 46 empty
+    feats = rng.normal(size=(B, H, W, D)).astype(np.float32)
+    seg = rng.integers(0, 4, size=(B, H, W)).astype(np.int32)
+    means, counts = segment_mean_pool(feats, seg, segments_per_image=S)
+    assert np.all(np.asarray(counts)[4:] == 0)
+    np.testing.assert_allclose(np.asarray(means)[4:], 0.0, atol=0)
+
+
+def test_pallas_pool_matches_jnp(rng):
+    B, H, W, D, S = 2, 30, 40, 128, 100
+    feats = rng.normal(size=(B, H, W, D)).astype(np.float32)
+    seg = rng.integers(0, S, size=(B, H, W)).astype(np.int32)
+    ref_means, ref_counts = segment_mean_pool(feats, seg, segments_per_image=S)
+
+    # fast path: bf16 MXU multiplicands -> bf16-level agreement
+    means, counts = segment_mean_pool_pallas(
+        feats, seg, segments_per_image=S, chunk=512
+    )
+    np.testing.assert_allclose(np.asarray(counts), np.asarray(ref_counts), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(means), np.asarray(ref_means), atol=5e-2, rtol=2e-2
+    )
+
+    # exact path
+    means_hi, _ = segment_mean_pool_pallas(
+        feats, seg, segments_per_image=S, chunk=512,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    np.testing.assert_allclose(
+        np.asarray(means_hi), np.asarray(ref_means), atol=1e-4
+    )
