@@ -1,0 +1,282 @@
+"""E2VID recurrent ConvLSTM-UNet reconstructor, NHWC flax + `lax.scan`.
+
+Reference: ``e2vid/model/unet.py:112-170`` (UNetRecurrent),
+``e2vid/model/submodules.py`` (ConvLayer/ConvLSTM/ResidualBlock/
+TransposedConvLayer), ``e2vid/image_reconstructor.py:80-123``.
+
+The released ``E2VID_lightweight`` configuration: 5 input bins, 3 encoders,
+base 32 channels, 2 residual blocks, sum skips, no norm, transposed-conv
+decoders — so encoder widths are 64/128/256 and the latent pyramid is
+``{1: head(32), 2: 64, 4: 128, 8: 256}`` (unet.py:163).
+
+TPU-first deltas vs the reference:
+- the trainers' Python loop over 20 event windows carrying ``states``
+  (finetune_trainer.py:334-338) is compiled as one ``lax.scan``
+  (:meth:`E2VIDReconstructor.apply_windows`);
+- per-window nonzero event normalization (inference_utils.py:49-86) is fused
+  into the scanned step;
+- layouts are NHWC and compute dtype is configurable (bf16 on MXU).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = Any
+
+
+class ConvTranspose2dTorch(nn.Module):
+    """Exact torch ``ConvTranspose2d(k, stride=2, padding=p, output_padding=1)``.
+
+    Implemented as an input-dilated convolution with the flipped kernel:
+    pad = (k-1-p, k-1-p+output_padding) on each spatial dim. Output is
+    exactly 2x the input size for k=5, p=2, op=1 (submodules.py:39-40).
+    """
+
+    features: int
+    kernel_size: int = 5
+    padding: int = 2
+    output_padding: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, p, op = self.kernel_size, self.padding, self.output_padding
+        in_ch = x.shape[-1]
+        # torch weight layout [in, out, kh, kw]; we store [kh, kw, out, in]
+        # and flip spatially at apply time (transpose conv == conv with
+        # flipped kernel over dilated input).
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform", in_axis=(3,), out_axis=(2,)),
+            (k, k, self.features, in_ch),
+        )
+        pad_lo = k - 1 - p
+        pad_hi = k - 1 - p + op
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            jnp.flip(w, axis=(0, 1)).astype(self.dtype),
+            window_strides=(1, 1),
+            padding=[(pad_lo, pad_hi), (pad_lo, pad_hi)],
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWOI", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(y.dtype)
+        return y
+
+
+class ConvLayer(nn.Module):
+    """Conv + optional ReLU (submodules.py:7-31, norm=None in lightweight)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    relu: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            use_bias=True,
+            dtype=self.dtype,
+            name="conv2d",
+        )(x)
+        return nn.relu(y) if self.relu else y
+
+
+class ConvLSTMCell(nn.Module):
+    """ConvLSTM with a single fused gates conv (submodules.py:175-214).
+
+    Gate order along the output channels is (input, forget, output, cell) —
+    matching the reference ``chunk(4)`` order, which matters for converted
+    checkpoints.
+    """
+
+    hidden: int
+    kernel_size: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, state):
+        if state is None:
+            shape = x.shape[:-1] + (self.hidden,)
+            state = (
+                jnp.zeros(shape, x.dtype),
+                jnp.zeros(shape, x.dtype),
+            )
+        prev_hidden, prev_cell = state
+        pad = self.kernel_size // 2
+        gates = nn.Conv(
+            4 * self.hidden,
+            (self.kernel_size, self.kernel_size),
+            padding=[(pad, pad)] * 2,
+            dtype=self.dtype,
+            name="gates",
+        )(jnp.concatenate([x, prev_hidden.astype(x.dtype)], axis=-1))
+        i, f, o, g = jnp.split(gates, 4, axis=-1)
+        i = nn.sigmoid(i)
+        f = nn.sigmoid(f)
+        o = nn.sigmoid(o)
+        g = nn.tanh(g)
+        cell = f * prev_cell.astype(f.dtype) + i * g
+        hidden = o * nn.tanh(cell)
+        return hidden, (hidden, cell)
+
+
+class ResidualBlock(nn.Module):
+    """3x3 conv -> relu -> 3x3 conv -> +residual -> relu (submodules.py:140-172)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(
+            self.features, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="conv1"
+        )(x)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.features, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="conv2"
+        )(y)
+        return nn.relu(y + x)
+
+
+class UNetRecurrent(nn.Module):
+    """Recurrent UNet: per-call single event window + carried LSTM states.
+
+    Returns ``(img, states, latent)`` with
+    ``latent = {"1": head, "2": enc0, "4": enc1, "8": enc2}`` (unet.py:163).
+    """
+
+    num_input_channels: int = 5
+    num_output_channels: int = 1
+    num_encoders: int = 3
+    base_num_channels: int = 32
+    num_residual_blocks: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, prev_states: Optional[Sequence] = None):
+        base = self.base_num_channels
+        enc_out = [base * (2 ** (i + 1)) for i in range(self.num_encoders)]
+
+        x = ConvLayer(base, 5, 1, 2, dtype=self.dtype, name="head")(x)
+        head = x
+
+        if prev_states is None:
+            prev_states = [None] * self.num_encoders
+
+        blocks, states = [], []
+        for i, out_ch in enumerate(enc_out):
+            x = ConvLayer(out_ch, 5, 2, 2, dtype=self.dtype, name=f"encoders_{i}/conv")(x)
+            x, st = ConvLSTMCell(out_ch, 3, dtype=self.dtype, name=f"encoders_{i}/lstm")(
+                x, prev_states[i]
+            )
+            blocks.append(x)
+            states.append(st)
+
+        for i in range(self.num_residual_blocks):
+            x = ResidualBlock(enc_out[-1], dtype=self.dtype, name=f"resblocks_{i}")(x)
+
+        latent = {"1": head, "2": blocks[0], "4": blocks[1], "8": blocks[2]}
+
+        for i in range(self.num_encoders):
+            skip = blocks[self.num_encoders - i - 1]
+            x = ConvTranspose2dTorch(
+                enc_out[self.num_encoders - i - 1] // 2, 5, 2, 1,
+                dtype=self.dtype, name=f"decoders_{i}",
+            )(x + skip)
+            x = nn.relu(x)
+
+        img = ConvLayer(
+            self.num_output_channels, 1, 1, 0, relu=False, dtype=self.dtype, name="pred"
+        )(x + head)
+        img = nn.sigmoid(img)
+        return img, states, latent
+
+
+def normalize_event_window(events: Array) -> Array:
+    """Nonzero-mean/std normalization of one event tensor, biased std
+    (EventPreprocessor, inference_utils.py:75-86). Operates over the whole
+    per-sample tensor."""
+    nz = events != 0
+    cnt = jnp.sum(nz, axis=tuple(range(1, events.ndim)), keepdims=True)
+    cnt_safe = jnp.maximum(cnt, 1).astype(events.dtype)
+    total = jnp.sum(jnp.where(nz, events, 0), axis=tuple(range(1, events.ndim)), keepdims=True)
+    mean = total / cnt_safe
+    sq = jnp.sum(jnp.where(nz, events * events, 0), axis=tuple(range(1, events.ndim)), keepdims=True) / cnt_safe
+    std = jnp.sqrt(jnp.maximum(sq - mean * mean, 0.0))
+    normed = jnp.where(nz, (events - mean) / jnp.maximum(std, 1e-12), 0.0)
+    return jnp.where(cnt > 0, normed, events)
+
+
+class _RecurrentStep(nn.Module):
+    """(carry, window) -> (carry, (img, latent)) protocol for `nn.scan`."""
+
+    num_bins: int
+    normalize: bool
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, carry, win):
+        if self.normalize:
+            win = normalize_event_window(win)
+        img, states, latent = UNetRecurrent(
+            num_input_channels=self.num_bins, dtype=self.dtype, name="unet"
+        )(win, carry)
+        return tuple(states), (img, latent)
+
+
+class E2VIDReconstructor(nn.Module):
+    """`lax.scan`-compiled replacement for ``ImageReconstructor`` + the
+    trainers' 20-iteration window loop.
+
+    ``__call__(windows)`` takes ``[B, T, H, W, bins]`` voxel windows, applies
+    per-window nonzero normalization, scans the UNet over T carrying LSTM
+    states (reset at call start, matching the reference's
+    ``last_states_for_each_channel = None`` per batch,
+    pretrain_trainer.py:387), and returns ``(imgs [B, T, H, W, 1],
+    final_latent)`` — trainers consume only the final window's latent
+    (pretrain_trainer.py:389-395).
+    """
+
+    num_bins: int = 5
+    normalize: bool = True
+    num_encoders: int = 3
+    base_num_channels: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, windows: Array):
+        b, t, h, w = windows.shape[:4]
+        states0 = []
+        for i in range(self.num_encoders):
+            ch = self.base_num_channels * (2 ** (i + 1))
+            sh = (b, h // (2 ** (i + 1)), w // (2 ** (i + 1)), ch)
+            states0.append(
+                (jnp.zeros(sh, self.dtype), jnp.zeros(sh, self.dtype))
+            )
+
+        xs = jnp.moveaxis(windows, 1, 0)  # [T, B, H, W, bins]
+        scanned = nn.scan(
+            _RecurrentStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )(self.num_bins, self.normalize, self.dtype, name="step")
+        _, (imgs, latents) = scanned(tuple(states0), xs)
+        final_latent = jax.tree.map(lambda l: l[-1], latents)
+        return jnp.moveaxis(imgs, 0, 1), final_latent

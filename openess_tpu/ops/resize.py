@@ -1,0 +1,75 @@
+"""Torch-semantics spatial resizing for NHWC tensors.
+
+The reference relies on ``F.interpolate`` in three flavors; each has exact
+coordinate conventions that matter for weight-converted checkpoints:
+
+- bilinear ``align_corners=False`` (deeplabv3.py:183-184): half-pixel centers.
+- bilinear ``align_corners=True``  (image_model.py:123): endpoint-aligned.
+- nearest scale_factor=2 (style_networks.py:148): index-floor == pixel repeat.
+
+Implemented as separable gathers with precomputed static index/weight
+vectors — cheap, fusion-friendly, and exact for both conventions (unlike
+``jax.image.resize`` whose nearest/antialias conventions differ from torch).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _axis_coords(in_size: int, out_size: int, align_corners: bool):
+    if align_corners:
+        scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        src = np.arange(out_size) * scale
+    else:
+        scale = in_size / out_size
+        src = (np.arange(out_size) + 0.5) * scale - 0.5
+    src = np.clip(src, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int32)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w = (src - lo).astype(np.float32)
+    return lo, hi, w
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "align_corners"))
+def resize_bilinear(
+    x: Array, *, out_h: int, out_w: int, align_corners: bool = False
+) -> Array:
+    """Bilinear resize of ``[..., H, W, C]`` to ``[..., out_h, out_w, C]``."""
+    h, w = x.shape[-3], x.shape[-2]
+    if (h, w) == (out_h, out_w):
+        return x
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+
+    lo, hi, wy = _axis_coords(h, out_h, align_corners)
+    rows = (
+        jnp.take(xf, lo, axis=-3) * (1.0 - wy)[:, None, None]
+        + jnp.take(xf, hi, axis=-3) * wy[:, None, None]
+    )
+    lo, hi, wx = _axis_coords(w, out_w, align_corners)
+    out = (
+        jnp.take(rows, lo, axis=-2) * (1.0 - wx)[:, None]
+        + jnp.take(rows, hi, axis=-2) * wx[:, None]
+    )
+    return out.astype(dt)
+
+
+def upsample2x_nearest(x: Array) -> Array:
+    """Exact torch ``interpolate(scale_factor=2, mode='nearest')`` (pixel repeat)."""
+    x = jnp.repeat(x, 2, axis=-3)
+    return jnp.repeat(x, 2, axis=-2)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_nearest(x: Array, *, out_h: int, out_w: int) -> Array:
+    """Torch legacy 'nearest' (index floor) for arbitrary sizes."""
+    h, w = x.shape[-3], x.shape[-2]
+    iy = np.floor(np.arange(out_h) * (h / out_h)).astype(np.int32)
+    ix = np.floor(np.arange(out_w) * (w / out_w)).astype(np.int32)
+    return jnp.take(jnp.take(x, iy, axis=-3), ix, axis=-2)

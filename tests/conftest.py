@@ -14,8 +14,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
 import numpy as np
 import pytest
+
+# f32-exact convs/matmuls for oracle comparisons (XLA CPU's default oneDNN
+# path introduces ~1e-3 bf16-like error on some conv shapes).
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture

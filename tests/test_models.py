@@ -1,0 +1,149 @@
+"""Model-stack tests: shapes, torch-oracle parity for custom layers, scan
+equivalence of the recurrent reconstructor."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as tnn
+
+from openess_tpu.models import (
+    ConvLSTMCell,
+    DeepLabV3TextSeg,
+    DilationFeatureExtractor,
+    E2VIDReconstructor,
+    SemSegE2VID,
+    UNetRecurrent,
+)
+from openess_tpu.models.e2vid import ConvTranspose2dTorch
+
+
+def test_conv_transpose_matches_torch(rng):
+    """ConvTranspose2dTorch == torch ConvTranspose2d(k5, s2, p2, op1)."""
+    x = rng.normal(size=(2, 9, 11, 6)).astype(np.float32)
+    m = ConvTranspose2dTorch(features=4, kernel_size=5, padding=2, output_padding=1)
+    params = m.init(jax.random.key(0), x)
+    w = np.asarray(params["params"]["kernel"])  # [kh, kw, out, in]
+    b = np.asarray(params["params"]["bias"])
+
+    tm = tnn.ConvTranspose2d(6, 4, 5, stride=2, padding=2, output_padding=1)
+    with torch.no_grad():
+        # torch layout [in, out, kh, kw]
+        tm.weight.copy_(torch.from_numpy(w.transpose(3, 2, 0, 1)))
+        tm.bias.copy_(torch.from_numpy(b))
+        ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+
+    ours = np.asarray(m.apply(params, x))
+    assert ours.shape == (2, 18, 22, 4)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_convlstm_matches_torch_oracle(rng):
+    """ConvLSTMCell == the reference cell (submodules.py:175-214) re-derived
+    in torch with shared weights."""
+    B, H, W, Cin, Ch = 2, 8, 10, 6, 5
+    x = rng.normal(size=(B, H, W, Cin)).astype(np.float32)
+    h0 = rng.normal(size=(B, H, W, Ch)).astype(np.float32)
+    c0 = rng.normal(size=(B, H, W, Ch)).astype(np.float32)
+
+    cell = ConvLSTMCell(hidden=Ch, kernel_size=3)
+    params = cell.init(jax.random.key(0), x, (h0, c0))
+    kw = np.asarray(params["params"]["gates"]["kernel"])  # [3,3,in+h,4h]
+    kb = np.asarray(params["params"]["gates"]["bias"])
+
+    gates = tnn.Conv2d(Cin + Ch, 4 * Ch, 3, padding=1)
+    with torch.no_grad():
+        gates.weight.copy_(torch.from_numpy(kw.transpose(3, 2, 0, 1)))
+        gates.bias.copy_(torch.from_numpy(kb))
+        stacked = torch.cat(
+            [torch.from_numpy(x).permute(0, 3, 1, 2),
+             torch.from_numpy(h0).permute(0, 3, 1, 2)], 1)
+        g = gates(stacked)
+        i, f, o, gg = g.chunk(4, 1)
+        cell_t = torch.sigmoid(f) * torch.from_numpy(c0).permute(0, 3, 1, 2) \
+            + torch.sigmoid(i) * torch.tanh(gg)
+        hid_t = torch.sigmoid(o) * torch.tanh(cell_t)
+
+    hid, (h1, c1) = cell.apply(params, x, (h0, c0))
+    np.testing.assert_allclose(
+        np.asarray(h1), hid_t.permute(0, 2, 3, 1).numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(c1), cell_t.permute(0, 2, 3, 1).numpy(), atol=1e-4)
+
+
+def test_unet_recurrent_shapes(rng):
+    B, H, W = 1, 64, 80
+    x = rng.normal(size=(B, H, W, 5)).astype(np.float32)
+    m = UNetRecurrent()
+    params = m.init(jax.random.key(0), x, None)
+    img, states, latent = m.apply(params, x, None)
+    assert img.shape == (B, H, W, 1)
+    assert latent["1"].shape == (B, H, W, 32)
+    assert latent["2"].shape == (B, H // 2, W // 2, 64)
+    assert latent["4"].shape == (B, H // 4, W // 4, 128)
+    assert latent["8"].shape == (B, H // 8, W // 8, 256)
+    assert len(states) == 3
+
+
+def test_reconstructor_scan_equals_python_loop(rng):
+    """The scanned T-window recurrence must equal sequential single-window
+    application (the reference's Python loop)."""
+    B, T, H, W = 1, 4, 32, 40
+    windows = rng.normal(size=(B, T, H, W, 5)).astype(np.float32)
+    # make some entries exactly zero to exercise nonzero-normalization
+    windows[windows < 0.3] = 0.0
+
+    recon = E2VIDReconstructor()
+    params = recon.init(jax.random.key(0), windows)
+    imgs, final_latent = recon.apply(params, windows)
+    assert imgs.shape == (B, T, H, W, 1)
+
+    # python-loop oracle using the same underlying UNet params
+    from openess_tpu.models.e2vid import normalize_event_window
+    unet = UNetRecurrent()
+    unet_params = {"params": params["params"]["step"]["unet"]}
+    states = None
+    for ti in range(T):
+        win = normalize_event_window(jnp.asarray(windows[:, ti]))
+        img, states, latent = unet.apply(unet_params, win, states)
+    np.testing.assert_allclose(
+        np.asarray(imgs[:, -1]), np.asarray(img), atol=1e-5)
+    for k in ("2", "4", "8"):
+        np.testing.assert_allclose(
+            np.asarray(final_latent[k]), np.asarray(latent[k]), atol=1e-5)
+
+
+def test_semseg_e2vid_shapes(rng):
+    B, H, W, C = 2, 64, 80, 11
+    latent = {
+        "2": jnp.asarray(rng.normal(size=(B, H // 2, W // 2, 64)), jnp.float32),
+        "4": jnp.asarray(rng.normal(size=(B, H // 4, W // 4, 128)), jnp.float32),
+        "8": jnp.asarray(rng.normal(size=(B, H // 8, W // 8, 256)), jnp.float32),
+    }
+    text = jnp.asarray(rng.normal(size=(C, 512)), jnp.float32)
+    m = SemSegE2VID(num_classes=C)
+    params = m.init(jax.random.key(0), latent, text)
+    logits, feat = m.apply(params, latent, text)
+    assert logits.shape == (B, H, W, C)
+    assert feat.shape == (B, H, W, 256)
+
+
+def test_deeplab_student_shapes(rng):
+    B, H, W, C = 1, 64, 96, 11
+    x = jnp.asarray(rng.normal(size=(B, H, W, 3)), jnp.float32)
+    text = jnp.asarray(rng.normal(size=(C, 512)), jnp.float32)
+    m = DeepLabV3TextSeg(num_classes=C, output_stride=16)
+    params = m.init(jax.random.key(0), x, text)
+    logits, feats = m.apply(params, x, text)
+    assert logits.shape == (B, H, W, C)
+    assert feats.shape == (B, H, W, 256)
+
+
+def test_teacher_shapes_and_normalization(rng):
+    B, H, W = 1, 64, 64
+    x = jnp.asarray(rng.uniform(size=(B, H, W, 3)), jnp.float32)
+    m = DilationFeatureExtractor()
+    params = m.init(jax.random.key(0), x)
+    feat = m.apply(params, x)
+    assert feat.shape == (B, H, W, 256)
+    norms = np.linalg.norm(np.asarray(feat), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
