@@ -1,0 +1,112 @@
+"""Synthetic ESS dataset: correlated events/frames/labels for tests & smoke runs.
+
+Plays the role of detectron2's instant-test configs (SURVEY.md §4): a tiny,
+self-consistent dataset exercising the full train path without DSEC/DDD17 on
+disk. Scenes are piecewise-constant label maps; frames/recons are label-
+correlated grayscale-ish images; events fire at label boundaries (where a
+moving edge would generate them), so a working model can actually fit it.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SyntheticESS:
+    num_samples: int = 16
+    height: int = 64
+    width: int = 96
+    num_classes: int = 6
+    num_windows: int = 4
+    events_per_window: int = 2000
+    superpixel_size: int = 20
+    seed: int = 1205
+
+    def __post_init__(self):
+        self._rng = np.random.default_rng(self.seed)
+        self._cache = [self._make(i) for i in range(self.num_samples)]
+
+    def _make(self, idx):
+        rng = np.random.default_rng(self.seed * 1000 + idx)
+        h, w, c = self.height, self.width, self.num_classes
+        # piecewise-constant label map from random low-res seeds
+        seeds = rng.integers(0, c, (4, 6))
+        ys = np.linspace(0, 4, h, endpoint=False).astype(int)
+        xs = np.linspace(0, 6, w, endpoint=False).astype(int)
+        label = seeds[np.ix_(ys, xs)].astype(np.int64)
+
+        # frame: per-class base intensity + noise, RGB in [0,1]
+        base = rng.uniform(0.1, 0.9, (c, 3))
+        frame = base[label] + rng.normal(0, 0.03, (h, w, 3))
+        frame = np.clip(frame, 0, 1).astype(np.float32)
+        recon = np.clip(
+            frame.mean(-1, keepdims=True) + rng.normal(0, 0.02, (h, w, 1)), 0, 1
+        )
+        recon = np.repeat(recon, 3, axis=-1).astype(np.float32)
+
+        # pseudo-labels: mostly correct with some corruption
+        pl = label.copy()
+        corrupt = rng.random((h, w)) < 0.15
+        pl[corrupt] = rng.integers(0, c, corrupt.sum())
+
+        # superpixels: grid blocks (ids < superpixel_size)
+        sp_rows = max(1, int(np.sqrt(self.superpixel_size * h / w)))
+        sp_cols = max(1, self.superpixel_size // sp_rows)
+        ry = np.minimum((np.arange(h) * sp_rows) // h, sp_rows - 1)
+        rx = np.minimum((np.arange(w) * sp_cols) // w, sp_cols - 1)
+        superpixel = (ry[:, None] * sp_cols + rx[None, :]).astype(np.int64)
+
+        # events at label boundaries
+        edges = np.zeros((h, w), bool)
+        edges[:, 1:] |= label[:, 1:] != label[:, :-1]
+        edges[1:, :] |= label[1:, :] != label[:-1, :]
+        ey, ex = np.nonzero(edges)
+        n = self.num_windows * self.events_per_window
+        pick = rng.integers(0, len(ey), n)
+        x = ex[pick].astype(np.float32) + rng.uniform(-0.5, 0.5, n).astype(np.float32)
+        y = ey[pick].astype(np.float32) + rng.uniform(-0.5, 0.5, n).astype(np.float32)
+        p = rng.integers(0, 2, n).astype(np.float32)
+        t = np.sort(rng.uniform(0, 1e6, n)).astype(np.float32)
+
+        sam_feat = rng.normal(0, 1, (16, 16, 256)).astype(np.float32)
+        return {
+            "events_xypt": (x, y, p, t),
+            "frame": frame,
+            "recon": recon,
+            "label": label.astype(np.int32),
+            "pl": pl.astype(np.int32),
+            "superpixel": superpixel.astype(np.int32),
+            "sam_feat": sam_feat,
+        }
+
+    def __len__(self):
+        return self.num_samples
+
+    def __getitem__(self, idx):
+        return self._cache[idx]
+
+    def voxelized_batch(self, indices, num_bins: int = 5) -> dict:
+        """Assemble a device-ready batch dict (events pre-voxelized on host
+        numpy for test portability; the real pipeline voxelizes on device)."""
+        from openess_tpu.ops import voxelize_windows_trilinear
+
+        out = {k: [] for k in ("event", "frame", "recon", "label", "pl",
+                               "superpixel", "sam_feat")}
+        for i in indices:
+            s = self._cache[i]
+            x, y, p, t = s["events_xypt"]
+            valid = np.ones_like(x, bool)
+            grid = np.asarray(
+                voxelize_windows_trilinear(
+                    x, y, p, t, valid,
+                    num_windows=self.num_windows, num_bins=num_bins,
+                    height=self.height, width=self.width,
+                )
+            )  # [T*bins, H, W]
+            grid = grid.reshape(self.num_windows, num_bins, self.height, self.width)
+            out["event"].append(grid.transpose(0, 2, 3, 1))  # [T, H, W, bins]
+            for k in ("frame", "recon", "label", "pl", "superpixel", "sam_feat"):
+                out[k].append(s[k])
+        return {k: np.stack(v) for k, v in out.items()}

@@ -82,39 +82,15 @@ def _pool_kernel(
     counts_ref[:] += jnp.sum(onehot, axis=0, keepdims=True)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("segments_per_image", "chunk", "precision")
-)
-def segment_mean_pool_pallas(
-    feats: Array,
-    seg_ids: Array,
-    *,
-    segments_per_image: int,
-    eps: float = 1e-6,
-    chunk: int = 1024,
-    precision=None,
-) -> tuple[Array, Array]:
-    """MXU one-hot-matmul pooling. Same contract as :func:`segment_mean_pool`.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _pallas_pool_sums(feats_p, ids_p, s_pad: int, chunk: int, precision):
+    """(sums [s_pad, D], counts [s_pad]) via chunked MXU one-hot matmul.
 
-    Pixels whose padded tail falls past B*H*W are redirected to a sentinel
-    row that is sliced off, so arbitrary (non-chunk-multiple) sizes work.
-
-    ``precision=None`` uses the fast MXU path (bf16 multiplicands, f32
-    accumulation — plenty for the contrastive loss); pass
-    ``jax.lax.Precision.HIGHEST`` for f32-exact sums.
+    Custom VJP: the transpose of segment-sum over features is a gather —
+    ``g_feats[pixel] = g_sums[seg_id[pixel]]`` — so the backward pass is one
+    cheap ``take`` instead of differentiating through the kernel.
     """
-    feats_flat, ids_flat, num_segments = _flatten_with_batch_offset(
-        feats, seg_ids, segments_per_image
-    )
-    n, d = feats_flat.shape
-    # Pad segments to the lane width; pad pixels to the chunk size with a
-    # sentinel segment id pointing at the padded region.
-    s_pad = max(128, ((num_segments + 1 + 127) // 128) * 128)
-    n_pad = ((n + chunk - 1) // chunk) * chunk
-    ids_p = jnp.full((n_pad, 1), num_segments, jnp.int32)
-    ids_p = ids_p.at[:n, 0].set(ids_flat.astype(jnp.int32))
-    feats_p = jnp.zeros((n_pad, d), feats_flat.dtype).at[:n].set(feats_flat)
-
+    n_pad, d = feats_p.shape
     grid = n_pad // chunk
     sums, counts = pl.pallas_call(
         functools.partial(_pool_kernel, num_segments=s_pad, precision=precision),
@@ -132,8 +108,62 @@ def segment_mean_pool_pallas(
             jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
         ),
     )(ids_p, feats_p)
+    return sums, counts[0]
 
+
+def _pallas_pool_sums_fwd(feats_p, ids_p, s_pad, chunk, precision):
+    out = _pallas_pool_sums(feats_p, ids_p, s_pad, chunk, precision)
+    return out, ids_p
+
+
+def _pallas_pool_sums_bwd(s_pad, chunk, precision, ids_p, cotangents):
+    g_sums, _g_counts = cotangents  # counts are feats-independent
+    g_feats = jnp.take(g_sums, ids_p[:, 0], axis=0).astype(g_sums.dtype)
+    return g_feats, None
+
+
+_pallas_pool_sums.defvjp(_pallas_pool_sums_fwd, _pallas_pool_sums_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("segments_per_image", "chunk", "precision")
+)
+def segment_mean_pool_pallas(
+    feats: Array,
+    seg_ids: Array,
+    *,
+    segments_per_image: int,
+    eps: float = 1e-6,
+    chunk: int = 1024,
+    precision=None,
+) -> tuple[Array, Array]:
+    """MXU one-hot-matmul pooling. Same contract as :func:`segment_mean_pool`.
+
+    Pixels whose padded tail falls past B*H*W are redirected to a sentinel
+    row that is sliced off, so arbitrary (non-chunk-multiple) sizes work.
+    Differentiable wrt ``feats`` (custom VJP: gather of the segment grads).
+
+    ``precision=None`` uses the fast MXU path (bf16 multiplicands, f32
+    accumulation — plenty for the contrastive loss); pass
+    ``jax.lax.Precision.HIGHEST`` for f32-exact sums.
+    """
+    feats_flat, ids_flat, num_segments = _flatten_with_batch_offset(
+        feats, seg_ids, segments_per_image
+    )
+    n, d = feats_flat.shape
+    # Pad segments to the lane width; pad pixels to the chunk size with a
+    # sentinel segment id pointing at the padded region.
+    s_pad = max(128, ((num_segments + 1 + 127) // 128) * 128)
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    ids_p = jnp.full((n_pad, 1), num_segments, jnp.int32)
+    ids_p = ids_p.at[:n, 0].set(ids_flat.astype(jnp.int32))
+    feats_p = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(
+        feats_flat.astype(jnp.float32)
+    )
+
+    chunk = min(chunk, n_pad)
+    sums, counts = _pallas_pool_sums(feats_p, ids_p, s_pad, chunk, precision)
     sums = sums[:num_segments]
-    counts = counts[0, :num_segments]
+    counts = counts[:num_segments]
     means = sums / (counts[:, None] + eps)
     return means.astype(feats.dtype), counts.astype(feats.dtype)

@@ -1,0 +1,166 @@
+"""Trainer: epoch loop, validation, checkpointing (reference:
+training/base_trainer_ov.py:358-471) around the functional step core.
+
+Unlike the reference's class-per-workload hierarchy, one Trainer serves all
+five workloads — the behavioral differences live entirely in
+``StepBuilder.compute_losses`` (steps.py), selected by the Settings.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openess_tpu.config.settings import Settings
+from openess_tpu.metrics import MetricsSemseg
+from openess_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from openess_tpu.training import checkpoint as ckpt
+from openess_tpu.training.build import build_models, trainable_labels
+from openess_tpu.training.optim import make_optimizer
+from openess_tpu.training.steps import StepBuilder, TrainState
+
+log = logging.getLogger("openess_tpu")
+
+
+class Trainer:
+    def __init__(
+        self,
+        settings: Settings,
+        dataset_train,
+        dataset_val=None,
+        mesh=None,
+        seed: Optional[int] = None,
+    ):
+        self.s = settings
+        self.train_data = dataset_train
+        self.val_data = dataset_val
+        seed = settings.seed if seed is None else seed
+        self.rng = jax.random.key(seed)
+        self.np_rng = np.random.default_rng(seed)
+
+        self.mesh = mesh if mesh is not None else make_mesh(
+            data=settings.mesh_data, model=settings.mesh_model
+        )
+
+        self.mset = build_models(settings, seed=seed)
+        labels = trainable_labels(self.mset, settings)
+        self.steps_per_epoch = max(
+            1, len(dataset_train) // settings.batch_size_b
+        )
+        self.tx = make_optimizer(settings, labels, self.steps_per_epoch)
+        self.sb = StepBuilder(settings, self.mset, self.tx)
+        self.train_step = self.sb.make_train_step()
+        self.eval_step = self.sb.make_eval_step()
+
+        params = self.mset.params
+        batch_stats = self.mset.batch_stats
+        if settings.load_pretrained_weights and settings.pretrained_file:
+            params, batch_stats = ckpt.load_pretrained_params(
+                settings.pretrained_file, params, batch_stats,
+                exclude_substrings=("linear_probe",),
+            )
+            log.info("loaded pretrained weights from %s", settings.pretrained_file)
+
+        state = TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+        self.epoch = 0
+        if settings.resume_training and settings.resume_ckpt_file:
+            state, self.epoch = ckpt.restore_checkpoint(
+                settings.resume_ckpt_file, state
+            )
+            log.info("resumed from %s at epoch %d", settings.resume_ckpt_file, self.epoch)
+        self.state = replicate(state, self.mesh)
+
+        self.metrics = MetricsSemseg(
+            settings.semseg_num_classes,
+            settings.semseg_ignore_label,
+            settings.semseg_class_names,
+        )
+
+    # ------------------------------------------------------------------
+
+    def _batches(self, dataset, train: bool):
+        n = len(dataset)
+        bs = self.s.batch_size_b
+        order = self.np_rng.permutation(n) if train else np.arange(n)
+        for i in range(0, n - bs + 1, bs):
+            batch = dataset.get_batch(order[i : i + bs])
+            yield shard_batch(batch, self.mesh)
+
+    def train_epoch(self) -> dict:
+        sums, count = {}, 0
+        t0 = time.time()
+        for bi, batch in enumerate(self._batches(self.train_data, train=True)):
+            self.state, losses = self.train_step(
+                self.state, batch, self.rng, jnp.asarray(self.epoch)
+            )
+            count += 1
+            if (bi + 1) % 20 == 0 or bi == 0:
+                vals = {k: float(v) for k, v in losses.items()}
+                sums = {k: sums.get(k, 0.0) + v for k, v in vals.items()}
+                log.info(
+                    "epoch %d batch %d: %s",
+                    self.epoch, bi,
+                    {k: round(v, 4) for k, v in vals.items()},
+                )
+        dt = time.time() - t0
+        log.info(
+            "epoch %d done: %d steps in %.1fs (%.2f steps/s)",
+            self.epoch, count, dt, count / max(dt, 1e-9),
+        )
+        return {k: v / max(count // 20, 1) for k, v in sums.items()}
+
+    def val_epoch(self) -> dict:
+        if self.val_data is None:
+            return {}
+        self.metrics.reset()
+        for batch in self._batches(self.val_data, train=False):
+            pred, _ = self.eval_step(
+                self.state.params, self.state.batch_stats, batch
+            )
+            self.metrics.update_batch(np.asarray(pred), np.asarray(batch["label"]))
+        summary = self.metrics.get_metrics_summary()
+        log.info(
+            "epoch %d val: mIoU %.2f acc %.2f",
+            self.epoch, summary["miou"], summary["acc"],
+        )
+        return summary
+
+    def _maybe_checkpoint(self):
+        if self.s.save_checkpoint and self.s.ckpt_dir:
+            ckpt.save_checkpoint(
+                self.s.ckpt_dir, jax.device_get(self.state), self.epoch
+            )
+
+    def training(self) -> dict:
+        """Epoch loop with periodic validation (base_trainer_ov.py:358-378)."""
+        best = {}
+        for e in range(self.epoch, self.s.num_epochs):
+            self.epoch = e
+            self.train_epoch()
+            if (e + 1) % self.s.val_epoch_step == 0:
+                summary = self.val_epoch()
+                if summary and summary.get("miou", 0) >= best.get("miou", -1):
+                    best = summary
+                self._maybe_checkpoint()
+        return best
+
+    def pretraining(self) -> None:
+        """No-validation loop (base_trainer_ov.py:380-399)."""
+        for e in range(self.epoch, self.s.num_epochs):
+            self.epoch = e
+            self.train_epoch()
+            if (e + 1) % self.s.val_epoch_step == 0:
+                self._maybe_checkpoint()
+
+    def val_epochs(self) -> dict:
+        """test.py entry: single validation sweep over the val set."""
+        return self.val_epoch()

@@ -7,20 +7,16 @@ real chips.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the outer env carries the TPU backend
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # stop the axon relay registering
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import jax
 import numpy as np
 import pytest
-
-# f32-exact convs/matmuls for oracle comparisons (XLA CPU's default oneDNN
-# path introduces ~1e-3 bf16-like error on some conv shapes).
-jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture

@@ -63,7 +63,10 @@ def test_convlstm_matches_torch_oracle(rng):
             + torch.sigmoid(i) * torch.tanh(gg)
         hid_t = torch.sigmoid(o) * torch.tanh(cell_t)
 
-    hid, (h1, c1) = cell.apply(params, x, (h0, c0))
+    # f32-exact convs for the oracle comparison (XLA CPU default precision
+    # introduces ~1e-3 bf16-like error on some conv shapes)
+    with jax.default_matmul_precision("highest"):
+        hid, (h1, c1) = cell.apply(params, x, (h0, c0))
     np.testing.assert_allclose(
         np.asarray(h1), hid_t.permute(0, 2, 3, 1).numpy(), atol=1e-4)
     np.testing.assert_allclose(

@@ -58,3 +58,33 @@ def test_pallas_pool_matches_jnp(rng):
     np.testing.assert_allclose(
         np.asarray(means_hi), np.asarray(ref_means), atol=1e-4
     )
+
+
+def test_pallas_pool_gradients_match_jnp(rng):
+    """Custom VJP (gather) must match autodiff through segment_sum."""
+    import jax.numpy as jnp
+    from openess_tpu.losses import nce_loss
+
+    B, H, W, D, S = 1, 16, 24, 32, 10
+    feats = rng.normal(size=(B, H, W, D)).astype(np.float32)
+    feats2 = rng.normal(size=(B, H, W, D)).astype(np.float32)
+    seg = rng.integers(0, S, size=(B, H, W)).astype(np.int32)
+
+    def loss_jnp(f):
+        k, _ = segment_mean_pool(f, seg, segments_per_image=S)
+        q, _ = segment_mean_pool(jnp.asarray(feats2), seg, segments_per_image=S)
+        return nce_loss(k, q)
+
+    def loss_pallas(f):
+        k, _ = segment_mean_pool_pallas(
+            f, seg, segments_per_image=S, precision=jax.lax.Precision.HIGHEST
+        )
+        q, _ = segment_mean_pool_pallas(
+            jnp.asarray(feats2), seg, segments_per_image=S,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return nce_loss(k, q)
+
+    g1 = jax.grad(loss_jnp)(jnp.asarray(feats))
+    g2 = jax.grad(loss_pallas)(jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)

@@ -1,0 +1,167 @@
+"""End-to-end train-step integration tests on the synthetic dataset.
+
+For each workload x branch combination: one jitted step runs, losses are
+finite, supervised losses decrease over a few steps, and freezing rules hold
+(frozen subtrees bit-identical, trainable ones changed).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openess_tpu.config.settings import Settings
+from openess_tpu.data.synthetic import SyntheticESS
+from openess_tpu.training.build import build_models, trainable_labels
+from openess_tpu.training.optim import make_optimizer
+from openess_tpu.training.steps import StepBuilder, TrainState
+
+H, W, C, T = 64, 96, 6, 2
+
+
+def make_settings(**kw):
+    s = Settings()
+    s.img_size_b = (H, W)
+    s.semseg_num_classes = C
+    s.nr_events_data_b = T
+    s.compute_dtype = "float32"
+    s.data_augmentation_train = kw.pop("augment", False)
+    s.superpixel_size = 20
+    for k, v in kw.items():
+        setattr(s, k, v)
+    s.__post_init__()
+    return s
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return SyntheticESS(num_samples=4, height=H, width=W, num_classes=C, num_windows=T)
+
+
+def setup(s, dataset):
+    mset = build_models(s, seed=0)
+    labels = trainable_labels(mset, s)
+    tx = make_optimizer(s, labels, steps_per_epoch=2)
+    sb = StepBuilder(s, mset, tx)
+    state = TrainState(
+        step=jnp.asarray(0),
+        params=mset.params,
+        batch_stats=mset.batch_stats,
+        opt_state=tx.init(mset.params),
+    )
+    batch = jax.tree.map(jnp.asarray, dataset.voxelized_batch([0, 1]))
+    return mset, sb, state, batch, labels
+
+
+def changed(a, b):
+    return any(
+        not np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+def test_sup_only_frame2recon_loss_decreases(dataset):
+    s = make_settings(if_supervised_only=True, config_option="frame2recon")
+    mset, sb, state, batch, _ = setup(s, dataset)
+    step = sb.make_train_step()
+    rng = jax.random.key(0)
+    losses_hist = []
+    for _ in range(6):
+        state, losses = step(state, batch, rng, jnp.asarray(0))
+        losses_hist.append(float(losses["total_loss"]))
+    assert np.isfinite(losses_hist).all()
+    assert losses_hist[-1] < losses_hist[0], losses_hist
+
+
+def test_pretrain_frame2recon_all_losses(dataset):
+    s = make_settings(
+        if_pretraining=True, config_option="frame2recon",
+        if_spatial_contrastive=True, if_dense_clip_supervision=True,
+        if_sam_distillation=True,
+    )
+    mset, sb, state, batch, labels = setup(s, dataset)
+    step = sb.make_train_step()
+    prev_params = state.params
+    state, losses = step(state, batch, jax.random.key(0), jnp.asarray(0))
+    for k in ("contrastive_nce_loss", "dense_clip_loss", "sam_distillation_loss"):
+        assert np.isfinite(float(losses[k])), k
+    # teacher encoder frozen, decoder conv trained
+    assert not changed(
+        prev_params["model_frame"]["encoder"], state.params["model_frame"]["encoder"]
+    )
+    assert changed(
+        prev_params["model_frame"]["decoder_conv"],
+        state.params["model_frame"]["decoder_conv"],
+    )
+    assert changed(prev_params["model_recon"], state.params["model_recon"])
+
+
+def test_finetune_recon2voxel_event_path(dataset):
+    s = make_settings(if_finetuning=True, config_option="recon2voxel")
+    mset, sb, state, batch, _ = setup(s, dataset)
+    step = sb.make_train_step()
+    prev_params = state.params
+    losses_hist = []
+    for _ in range(4):
+        state, losses = step(state, batch, jax.random.key(1), jnp.asarray(0))
+        losses_hist.append(float(losses["semseg_loss"]))
+    assert np.isfinite(losses_hist).all()
+    assert losses_hist[-1] < losses_hist[0], losses_hist
+    # E2VID is frozen (latent detached)
+    assert not changed(
+        prev_params["front_sensor_b"], state.params["front_sensor_b"]
+    )
+    assert changed(prev_params["back_end"], state.params["back_end"])
+
+
+def test_openess_uda_recon2voxel(dataset):
+    s = make_settings(config_option="recon2voxel", if_spatial_contrastive=True)
+    mset, sb, state, batch, _ = setup(s, dataset)
+    assert mset.task == "openess"
+    step = sb.make_train_step()
+    state, losses = step(state, batch, jax.random.key(2), jnp.asarray(0))
+    for k in (
+        "semseg_recon_loss", "semseg_sensor_b_loss", "cons_feat_loss",
+        "cons_pred_loss", "contrastive_nce_loss",
+    ):
+        assert np.isfinite(float(losses[k])), k
+
+
+def test_linear_probe_only_trains_probe(dataset):
+    s = make_settings(if_linear_probing=True, config_option="frame2recon")
+    mset, sb, state, batch, _ = setup(s, dataset)
+    step = sb.make_train_step()
+    prev_params = state.params
+    state, losses = step(state, batch, jax.random.key(3), jnp.asarray(0))
+    assert changed(
+        prev_params["model_recon"]["linear_probe"],
+        state.params["model_recon"]["linear_probe"],
+    )
+    assert not changed(
+        prev_params["model_recon"]["backbone"],
+        state.params["model_recon"]["backbone"],
+    )
+    assert not changed(
+        prev_params["model_recon"]["classifier"],
+        state.params["model_recon"]["classifier"],
+    )
+
+
+def test_eval_step_produces_predictions(dataset):
+    s = make_settings(if_supervised_only=True, config_option="frame2recon")
+    mset, sb, state, batch, _ = setup(s, dataset)
+    eval_step = sb.make_eval_step()
+    pred, loss = eval_step(state.params, state.batch_stats, batch)
+    assert pred.shape == (2, H, W)
+    assert pred.dtype in (jnp.int32, jnp.int64)
+    assert np.isfinite(float(loss))
+
+
+def test_augmentation_path_compiles(dataset):
+    s = make_settings(
+        if_pretraining=True, config_option="frame2recon", augment=True,
+        if_sam_distillation=False,
+    )
+    mset, sb, state, batch, _ = setup(s, dataset)
+    step = sb.make_train_step()
+    state, losses = step(state, batch, jax.random.key(4), jnp.asarray(0))
+    assert np.isfinite(float(losses["total_loss"]))
