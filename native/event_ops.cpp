@@ -1,0 +1,126 @@
+// Host-side event-stream kernels for the openess-tpu data plane.
+//
+// Replaces the reference's numba-JIT index scan (DSEC/utils/eventslicer.py:
+// 152-203) and the numpy/torch host voxelizers (DSEC/dataset/
+// representations.py:15-43, datasets/data_util.py:51-117) with tight C++
+// loops, exposed via ctypes (no pybind11 in this image). The device (Pallas/
+// XLA) voxelizer remains the training-path default; these cover the
+// CPU-bound offline tier and give the input pipeline a fast host fallback
+// that overlaps with TPU compute.
+//
+// Build: make -C native   (g++ -O3 -march=native -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+
+extern "C" {
+
+// DSEC-style signed trilinear voxel grid (±polarity, 8-corner interpolation).
+// x, y: rectified float coords; p in {0,1}; t monotonic. grid: [C*H*W] f32,
+// assumed zero-initialized by the caller.
+void voxelize_trilinear(
+    const float* x, const float* y, const float* p, const float* t,
+    int64_t n, int C, int H, int W, float* grid) {
+  if (n == 0) return;
+  const float t0v = t[0];
+  float dt = t[n - 1] - t0v;
+  if (dt <= 0.f) dt = 1.f;
+  const float tscale = (C - 1) / dt;
+  const int64_t HW = (int64_t)H * W;
+  for (int64_t i = 0; i < n; ++i) {
+    const float xf = x[i], yf = y[i];
+    const float tn = (t[i] - t0v) * tscale;
+    // trunc toward zero, matching torch .int() (representations.py:27-29)
+    const int x0 = (int)xf, y0 = (int)yf, t0 = (int)tn;
+    const float value = 2.f * p[i] - 1.f;
+    for (int dx = 0; dx < 2; ++dx) {
+      const int xl = x0 + dx;
+      if (xl < 0 || xl >= W) continue;
+      const float wx = 1.f - std::fabs((float)xl - xf);
+      for (int dy = 0; dy < 2; ++dy) {
+        const int yl = y0 + dy;
+        if (yl < 0 || yl >= H) continue;
+        const float wy = 1.f - std::fabs((float)yl - yf);
+        for (int dtt = 0; dtt < 2; ++dtt) {
+          const int tl = t0 + dtt;
+          if (tl < 0 || tl >= C) continue;
+          const float wt = 1.f - std::fabs((float)tl - tn);
+          grid[tl * HW + (int64_t)yl * W + xl] += value * wx * wy * wt;
+        }
+      }
+    }
+  }
+}
+
+// DDD17-style voxel grid: integer coords, bilinear binning along time only,
+// separate polarity grids (pos then neg), each [C*H*W] zero-initialized.
+void voxelize_bilinear_t(
+    const int64_t* xs, const int64_t* ys, const float* p, const int64_t* t,
+    int64_t n, int C, int H, int W, float* grid_pos, float* grid_neg) {
+  if (n == 0) return;
+  const double t0v = (double)t[0];
+  double dt = (double)t[n - 1] - t0v;
+  if (dt == 0) dt = 1.0;
+  const double tscale = (C - 1) / dt;
+  const int64_t HW = (int64_t)H * W;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t xi = xs[i], yi = ys[i];
+    if (xi < 0 || xi >= W || yi < 0 || yi >= H) continue;
+    const double ts = ((double)t[i] - t0v) * tscale;
+    if (ts < 0 || ts >= C) continue;
+    const int ti = (int)ts;
+    const float dts = (float)(ts - ti);
+    float pol = p[i];
+    if (pol == 0.f) pol = -1.f;
+    float* g = (pol == 1.f) ? grid_pos : grid_neg;
+    const int64_t base = (int64_t)yi * W + xi;
+    if (ti < C) g[ti * HW + base] += 1.f - dts;
+    if (ti + 1 < C) g[(ti + 1) * HW + base] += dts;
+  }
+}
+
+// 2-channel (neg, pos) event count histogram.
+void event_histogram(
+    const int64_t* xs, const int64_t* ys, const float* p,
+    int64_t n, int H, int W, float* hist_neg, float* hist_pos) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t xi = xs[i], yi = ys[i];
+    if (xi < 0 || xi >= W || yi < 0 || yi >= H) continue;
+    float* h = (p[i] == 1.f || p[i] > 0.f) ? hist_pos : hist_neg;
+    h[yi * W + xi] += 1.f;
+  }
+}
+
+// Exact time-window boundary search on a sorted int64 timestamp slice
+// (the numba get_time_indices_offsets contract, eventslicer.py:152-203):
+// returns idx such that t[idx_start] >= t_start and t[idx_start-1] < t_start.
+void time_indices_offsets(
+    const int64_t* t, int64_t n, int64_t t_start, int64_t t_end,
+    int64_t* idx_start, int64_t* idx_end) {
+  *idx_start = std::lower_bound(t, t + n, t_start) - t;
+  *idx_end = std::lower_bound(t, t + n, t_end) - t;
+}
+
+// Nonzero-mean/std normalization in place (biased, EventPreprocessor /
+// data_util.py:38-48 semantics).
+void normalize_nonzero_inplace(float* grid, int64_t n) {
+  double sum = 0, sq = 0;
+  int64_t cnt = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const float v = grid[i];
+    if (v != 0.f) { sum += v; sq += (double)v * v; ++cnt; }
+  }
+  if (cnt == 0) return;
+  const double mean = sum / cnt;
+  const double var = sq / cnt - mean * mean;
+  const double std = var > 0 ? std::sqrt(var) : 0.0;
+  if (std == 0) return;
+  const float m = (float)mean, inv = (float)(1.0 / std);
+  for (int64_t i = 0; i < n; ++i) {
+    if (grid[i] != 0.f) grid[i] = (grid[i] - m) * inv;
+  }
+}
+
+}  // extern "C"

@@ -29,6 +29,7 @@ class Settings:
     compute_dtype: str = "bfloat16"
     mesh_data: int = -1  # -1: all devices on the data axis
     mesh_model: int = 1
+    host_voxelize: bool = True  # native C++ host voxelizer in the data plane
     # --- model ---
     model_name: str = "open_ess"
     skip_connect_encoder: bool = True

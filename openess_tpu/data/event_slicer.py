@@ -1,0 +1,88 @@
+"""HDF5 event-stream slicer (reference: DSEC/utils/eventslicer.py:10-209).
+
+Same contract as the reference EventSlicer — ``ms_to_idx`` coarse lookup plus
+an exact refinement inside the conservative millisecond window — but the
+numba-JIT linear scan (eventslicer.py:152-203, the reference's only JIT'd
+hot loop) is replaced by ``np.searchsorted`` on the loaded slice: vectorized,
+no JIT warm-up, identical boundary semantics
+(``t[idx_start] >= t_start`` and ``t[idx_start-1] < t_start``).
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+try:  # real DSEC h5 files are blosc-compressed; plugin optional for tests
+    import hdf5plugin  # noqa: F401
+except ImportError:
+    pass
+import h5py
+
+
+class EventSlicer:
+    def __init__(self, h5f: h5py.File):
+        self.h5f = h5f
+        self.events = {k: h5f[f"events/{k}"] for k in ("p", "x", "y", "t")}
+        self.ms_to_idx = np.asarray(h5f["ms_to_idx"], dtype="int64")
+        self.t_offset = int(h5f["t_offset"][()]) if "t_offset" in h5f.keys() else 0
+        self.t_final = int(self.events["t"][-1]) + self.t_offset
+
+    def get_start_time_us(self) -> int:
+        return self.t_offset
+
+    def get_final_time_us(self) -> int:
+        return self.t_final
+
+    def get_events(
+        self, t_start_us: int, t_end_us: int
+    ) -> Optional[Dict[str, np.ndarray]]:
+        """All events with ``t_start_us <= t < t_end_us`` (absolute us)."""
+        assert t_start_us < t_end_us
+        t_start_us -= self.t_offset
+        t_end_us -= self.t_offset
+
+        t_start_ms, t_end_ms = self.get_conservative_window_ms(t_start_us, t_end_us)
+        lo = self.ms2idx(t_start_ms)
+        hi = self.ms2idx(t_end_ms)
+        if lo is None or hi is None:
+            return None
+
+        t_slice = np.asarray(self.events["t"][lo:hi])
+        i0 = int(np.searchsorted(t_slice, t_start_us, side="left"))
+        i1 = int(np.searchsorted(t_slice, t_end_us, side="left"))
+        out = {"t": t_slice[i0:i1] + self.t_offset}
+        for k in ("p", "x", "y"):
+            out[k] = np.asarray(self.events[k][lo + i0 : lo + i1])
+        return out
+
+    def get_events_fixed_num(
+        self, t_end_us: int, nr_events: int = 100000
+    ) -> Optional[Dict[str, np.ndarray]]:
+        """The last ``nr_events`` events ending at ``t_end_us``
+        (eventslicer.py:68-98)."""
+        t_end_us -= self.t_offset
+        lo_ms, hi_ms = math.floor(t_end_us / 1000), math.ceil(t_end_us / 1000)
+        lo = self.ms2idx(lo_ms)
+        hi = self.ms2idx(hi_ms)
+        if lo is None or hi is None:
+            return None
+        t_slice = np.asarray(self.events["t"][lo:hi])
+        end_idx = lo + int(np.searchsorted(t_slice, t_end_us, side="left"))
+        start_idx = max(end_idx - nr_events, 0)
+        return {
+            k: np.asarray(self.events[k][start_idx:end_idx])
+            for k in self.events
+        }
+
+    @staticmethod
+    def get_conservative_window_ms(ts_start_us, ts_end_us) -> Tuple[int, int]:
+        assert ts_end_us > ts_start_us
+        return math.floor(ts_start_us / 1000), math.ceil(ts_end_us / 1000)
+
+    def ms2idx(self, time_ms: int) -> Optional[int]:
+        assert time_ms >= 0
+        if time_ms >= self.ms_to_idx.size:
+            return None
+        return int(self.ms_to_idx[time_ms])

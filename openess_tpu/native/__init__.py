@@ -1,0 +1,118 @@
+"""ctypes bindings for the native host-side event kernels (native/event_ops.cpp).
+
+Auto-builds ``libevent_ops.so`` on first import when a compiler is available;
+every entry point has a numpy fallback so the package works without the
+native library (``HAVE_NATIVE`` tells you which path is active).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libevent_ops.so")
+
+_lib = None
+
+
+def _try_load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "-s"],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+
+    i64 = ctypes.c_int64
+    i32 = ctypes.c_int
+    fp = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    ip = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.voxelize_trilinear.argtypes = [fp, fp, fp, fp, i64, i32, i32, i32, fp]
+    lib.voxelize_bilinear_t.argtypes = [ip, ip, fp, ip, i64, i32, i32, i32, fp, fp]
+    lib.event_histogram.argtypes = [ip, ip, fp, i64, i32, i32, fp, fp]
+    lib.time_indices_offsets.argtypes = [
+        ip, i64, i64, i64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.normalize_nonzero_inplace.argtypes = [fp, i64]
+    _lib = lib
+    return lib
+
+
+HAVE_NATIVE = _try_load() is not None
+
+
+def voxelize_trilinear_host(x, y, p, t, num_bins, height, width) -> np.ndarray:
+    """DSEC trilinear voxel grid on host. Native when available."""
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.ascontiguousarray(y, np.float32)
+    p = np.ascontiguousarray(p, np.float32)
+    t = np.ascontiguousarray(t, np.float32)
+    grid = np.zeros(num_bins * height * width, np.float32)
+    lib = _try_load()
+    if lib is not None:
+        lib.voxelize_trilinear(
+            x, y, p, t, len(x), num_bins, height, width, grid
+        )
+        return grid.reshape(num_bins, height, width)
+    # numpy fallback (reference np.add.at formulation)
+    C, H, W = num_bins, height, width
+    tn = (C - 1) * (t - t[0]) / max(t[-1] - t[0], 1e-9) if len(t) else t
+    x0 = np.fix(x).astype(np.int64)
+    y0 = np.fix(y).astype(np.int64)
+    t0 = np.fix(tn).astype(np.int64)
+    val = 2 * p - 1
+    for xl in (x0, x0 + 1):
+        for yl in (y0, y0 + 1):
+            for tl in (t0, t0 + 1):
+                m = (xl < W) & (xl >= 0) & (yl < H) & (yl >= 0) & (tl >= 0) & (tl < C)
+                w = val * (1 - np.abs(xl - x)) * (1 - np.abs(yl - y)) * (1 - np.abs(tl - tn))
+                np.add.at(grid, ((tl * H + yl) * W + xl)[m], w[m])
+    return grid.reshape(C, H, W)
+
+
+def voxelize_bilinear_t_host(
+    x, y, p, t, num_bins, height, width, separate_pol=True
+) -> np.ndarray:
+    """DDD17 per-polarity voxel grid on host."""
+    xs = np.ascontiguousarray(x, np.int64)
+    ys = np.ascontiguousarray(y, np.int64)
+    pf = np.ascontiguousarray(p, np.float32)
+    ts = np.ascontiguousarray(t, np.int64)
+    C, H, W = num_bins, height, width
+    pos = np.zeros(C * H * W, np.float32)
+    neg = np.zeros(C * H * W, np.float32)
+    lib = _try_load()
+    if lib is not None:
+        lib.voxelize_bilinear_t(xs, ys, pf, ts, len(xs), C, H, W, pos, neg)
+    else:
+        tf = ts.astype(np.float64)
+        dT = tf[-1] - tf[0] if len(tf) else 1.0
+        dT = dT if dT != 0 else 1.0
+        tn = (C - 1) * (tf - tf[0]) / dT
+        pols = pf.copy()
+        pols[pols == 0] = -1
+        tis = tn.astype(np.int64)
+        dts = (tn - tis).astype(np.float32)
+        ok = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H) & (tn >= 0) & (tn < C)
+        for grid, sel in ((pos, pols == 1), (neg, pols != 1)):
+            m = sel & ok & (tis < C)
+            np.add.at(grid, xs[m] + ys[m] * W + tis[m] * W * H, (1 - dts)[m])
+            m = sel & ok & (tis + 1 < C)
+            np.add.at(grid, xs[m] + ys[m] * W + (tis[m] + 1) * W * H, dts[m])
+    pos = pos.reshape(C, H, W)
+    neg = neg.reshape(C, H, W)
+    return np.concatenate([pos, neg], 0) if separate_pol else pos - neg
