@@ -225,6 +225,34 @@ class StepBuilder:
                     l = contrastive(feat_voxel, feat_recon, sp)
                     losses["contrastive_nce_loss"] = l
                     t_loss += l
+            elif opt == "frame2recon":
+                # joint frame+recon deeplabs (openess_trainer.py:478-530)
+                logits_frame, feat_frame, bs = self._deeplab(
+                    "model_frame", params, bstats, batch["frame"], True, rng_d1
+                )
+                if bs is not None:
+                    new_bstats["model_frame"] = bs
+                l = tloss(logits_frame, batch["pl"])
+                losses["semseg_frame_loss"] = l
+                t_loss += l
+                logits_recon, feat_recon, bs = self._deeplab(
+                    "model_recon", params, bstats, batch["recon"], True, rng_d2
+                )
+                if bs is not None:
+                    new_bstats["model_recon"] = bs
+                l = tloss(logits_recon, batch["pl"])
+                losses["semseg_recon_loss"] = l
+                t_loss += l
+                l = jnp.mean(jnp.abs(feat_frame - feat_recon))
+                losses["cons_feat_loss"] = l
+                t_loss += l
+                l = cosine_distill(logits_frame, logits_recon, axis=-1)
+                losses["cons_pred_loss"] = l
+                t_loss += l
+                if s.if_spatial_contrastive:
+                    l = contrastive(feat_recon, feat_frame, 30)
+                    losses["contrastive_nce_loss"] = l
+                    t_loss += l
             else:
                 raise NotImplementedError(opt)
         else:

@@ -88,12 +88,14 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _batches(self, dataset, train: bool):
-        n = len(dataset)
-        bs = self.s.batch_size_b
-        order = self.np_rng.permutation(n) if train else np.arange(n)
-        for i in range(0, n - bs + 1, bs):
-            batch = dataset.get_batch(order[i : i + bs])
-            yield shard_batch(batch, self.mesh)
+        from openess_tpu.data.pipeline import PrefetchLoader
+
+        loader = PrefetchLoader(
+            dataset, self.s.batch_size_b,
+            shuffle=train, rng=self.np_rng,
+            put_fn=lambda b: shard_batch(b, self.mesh),
+        )
+        yield from loader
 
     def train_epoch(self) -> dict:
         sums, count = {}, 0
