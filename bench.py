@@ -76,6 +76,21 @@ def main():
         times.append(time.perf_counter() - s)
     dev_rate = N / min(times)
 
+    # --- native C++ host voxelizer (the data-plane path) ---
+    from openess_tpu.native import HAVE_NATIVE, voxelize_trilinear_host
+
+    native_rate = 0.0
+    if HAVE_NATIVE:
+        times = []
+        for _ in range(3):
+            s = time.perf_counter()
+            for wi in range(NW):
+                sl = slice(wi * K, (wi + 1) * K)
+                voxelize_trilinear_host(x[sl], y[sl], p[sl], t[sl], C, H, W)
+            times.append(time.perf_counter() - s)
+        native_rate = N / min(times)
+    pipeline_rate = max(native_rate, dev_rate)
+
     # --- seg student forward, bf16 ---
     B, SH, SW, NC = 8, 440, 640, 11
     model = DeepLabV3TextSeg(num_classes=NC, output_stride=16, dtype=jnp.bfloat16)
@@ -126,11 +141,13 @@ def main():
         json.dumps(
             {
                 "metric": "voxelize_throughput",
-                "value": round(dev_rate, 0),
+                "value": round(pipeline_rate, 0),
                 "unit": "events/s",
-                "vs_baseline": round(dev_rate / np_rate, 2),
+                "vs_baseline": round(pipeline_rate / np_rate, 2),
                 "extra": {
                     "numpy_baseline_events_per_s": round(np_rate, 0),
+                    "native_host_events_per_s": round(native_rate, 0),
+                    "tpu_scatter_events_per_s": round(dev_rate, 0),
                     "seg_fwd_img_per_s_bf16_440x640": round(seg_rate, 1),
                     "e2vid20_path_samples_per_s": round(epath_rate, 2),
                 },

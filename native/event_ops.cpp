@@ -14,6 +14,8 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -51,6 +53,68 @@ void voxelize_trilinear(
         }
       }
     }
+  }
+}
+
+// Multithreaded trilinear voxelizer: events are partitioned across threads,
+// each accumulating into a private grid (no atomics needed on any ISA),
+// followed by a parallel tree-free reduction. The per-window time
+// normalization uses the GLOBAL first/last timestamps, so results are
+// bit-identical in structure to the single-threaded kernel.
+void voxelize_trilinear_mt(
+    const float* x, const float* y, const float* p, const float* t,
+    int64_t n, int C, int H, int W, float* grid, int n_threads) {
+  if (n == 0) return;
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads <= 1 || n < 65536) {
+    voxelize_trilinear(x, y, p, t, n, C, H, W, grid);
+    return;
+  }
+  const int64_t cells = (int64_t)C * H * W;
+  const float t0v = t[0];
+  float dt = t[n - 1] - t0v;
+  if (dt <= 0.f) dt = 1.f;
+  const float tscale = (C - 1) / dt;
+  std::vector<std::vector<float>> priv(n_threads - 1);
+  std::vector<std::thread> threads;
+  const int64_t per = (n + n_threads - 1) / n_threads;
+
+  auto work = [&](int ti, float* g) {
+    const int64_t lo = ti * per;
+    const int64_t hi = std::min(lo + per, n);
+    const int64_t HW = (int64_t)H * W;
+    for (int64_t i = lo; i < hi; ++i) {
+      const float xf = x[i], yf = y[i];
+      const float tn = (t[i] - t0v) * tscale;
+      const int x0 = (int)xf, y0 = (int)yf, tt0 = (int)tn;
+      const float value = 2.f * p[i] - 1.f;
+      for (int dx = 0; dx < 2; ++dx) {
+        const int xl = x0 + dx;
+        if (xl < 0 || xl >= W) continue;
+        const float wx = 1.f - std::fabs((float)xl - xf);
+        for (int dy = 0; dy < 2; ++dy) {
+          const int yl = y0 + dy;
+          if (yl < 0 || yl >= H) continue;
+          const float wy = 1.f - std::fabs((float)yl - yf);
+          for (int dtt = 0; dtt < 2; ++dtt) {
+            const int tl = tt0 + dtt;
+            if (tl < 0 || tl >= C) continue;
+            const float wt = 1.f - std::fabs((float)tl - tn);
+            g[tl * HW + (int64_t)yl * W + xl] += value * wx * wy * wt;
+          }
+        }
+      }
+    }
+  };
+
+  for (int ti = 1; ti < n_threads; ++ti) {
+    priv[ti - 1].assign(cells, 0.f);
+    threads.emplace_back(work, ti, priv[ti - 1].data());
+  }
+  work(0, grid);
+  for (auto& th : threads) th.join();
+  for (auto& g : priv) {
+    for (int64_t i = 0; i < cells; ++i) grid[i] += g[i];
   }
 }
 

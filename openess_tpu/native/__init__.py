@@ -41,6 +41,9 @@ def _try_load():
     fp = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     ip = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.voxelize_trilinear.argtypes = [fp, fp, fp, fp, i64, i32, i32, i32, fp]
+    lib.voxelize_trilinear_mt.argtypes = [
+        fp, fp, fp, fp, i64, i32, i32, i32, fp, i32
+    ]
     lib.voxelize_bilinear_t.argtypes = [ip, ip, fp, ip, i64, i32, i32, i32, fp, fp]
     lib.event_histogram.argtypes = [ip, ip, fp, i64, i32, i32, fp, fp]
     lib.time_indices_offsets.argtypes = [
@@ -55,8 +58,12 @@ def _try_load():
 HAVE_NATIVE = _try_load() is not None
 
 
-def voxelize_trilinear_host(x, y, p, t, num_bins, height, width) -> np.ndarray:
-    """DSEC trilinear voxel grid on host. Native when available."""
+def voxelize_trilinear_host(
+    x, y, p, t, num_bins, height, width, n_threads: int = 1
+) -> np.ndarray:
+    """DSEC trilinear voxel grid on host. Native when available;
+    ``n_threads>1`` (or 0 = auto) partitions events across threads with
+    private grids."""
     x = np.ascontiguousarray(x, np.float32)
     y = np.ascontiguousarray(y, np.float32)
     p = np.ascontiguousarray(p, np.float32)
@@ -64,9 +71,14 @@ def voxelize_trilinear_host(x, y, p, t, num_bins, height, width) -> np.ndarray:
     grid = np.zeros(num_bins * height * width, np.float32)
     lib = _try_load()
     if lib is not None:
-        lib.voxelize_trilinear(
-            x, y, p, t, len(x), num_bins, height, width, grid
-        )
+        if n_threads == 1:
+            lib.voxelize_trilinear(
+                x, y, p, t, len(x), num_bins, height, width, grid
+            )
+        else:
+            lib.voxelize_trilinear_mt(
+                x, y, p, t, len(x), num_bins, height, width, grid, n_threads
+            )
         return grid.reshape(num_bins, height, width)
     # numpy fallback (reference np.add.at formulation)
     C, H, W = num_bins, height, width

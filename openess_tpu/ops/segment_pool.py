@@ -94,6 +94,8 @@ def _pallas_pool_sums(feats_p, ids_p, s_pad: int, chunk: int, precision):
     grid = n_pad // chunk
     sums, counts = pl.pallas_call(
         functools.partial(_pool_kernel, num_segments=s_pad, precision=precision),
+        # CPU (tests / virtual meshes) only supports the interpreter
+        interpret=jax.default_backend() == "cpu",
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -33,7 +33,8 @@ def make_mesh(data: int = -1, model: int = 1) -> Mesh:
     n = devices.size
     if data == -1:
         data = n // model
-    assert data * model == n, (data, model, n)
+    assert data * model <= n, (data, model, n)
+    devices = devices[: data * model]
     return Mesh(devices.reshape(data, model), axis_names=("data", "model"))
 
 

@@ -14,6 +14,14 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+assert "xla_force_host_platform_device_count" in os.environ["XLA_FLAGS"]
+
+# The axon sitecustomize imports jax at interpreter start and pins the
+# platform, so env vars alone are too late — update the live config before
+# any backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,119 @@
+"""Multi-device mesh tests on the virtual 8-device CPU mesh (SURVEY §4d:
+the TPU answer to 'multi-node without a cluster').
+
+DP/TP partitioning must be semantics-preserving: the same global batch
+through (4,1), (2,2) and (1,1) meshes yields the same loss trajectory.
+
+Infra note: XLA CPU's collective rendezvous hard-aborts (SIGABRT) if a
+virtual-device thread starves ~40s on this single-core host, so each mesh
+run executes in a subprocess with one retry — an abort is an infra flake,
+a wrong loss is a real failure.
+"""
+import json
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+RUNNER = r"""
+import os, json, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    " --xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, %(repo)r)
+import jax.numpy as jnp
+import numpy as np
+from openess_tpu.config.settings import Settings
+from openess_tpu.data.synthetic import SyntheticESS
+from openess_tpu.parallel.mesh import make_mesh, replicate, shard_batch, shard_params_tp
+from openess_tpu.training.build import build_models, trainable_labels
+from openess_tpu.training.optim import make_optimizer
+from openess_tpu.training.steps import StepBuilder, TrainState
+
+data_ax, model_ax = %(data)d, %(model)d
+H, W, C = 16, 32, 6
+s = Settings(); s.img_size_b = (H, W); s.semseg_num_classes = C
+s.nr_events_data_b = 2; s.compute_dtype = "float32"
+s.if_supervised_only = True; s.config_option = "frame2recon"
+s.data_augmentation_train = False; s.__post_init__()
+mset = build_models(s, seed=0)
+labels = trainable_labels(mset, s)
+tx = make_optimizer(s, labels, steps_per_epoch=4)
+step = StepBuilder(s, mset, tx).make_train_step()
+ds = SyntheticESS(num_samples=8, height=H, width=W, num_classes=C, num_windows=2)
+batch = ds.voxelized_batch(list(range(8)))
+mesh = make_mesh(data_ax, model_ax)
+params = shard_params_tp(mset.params, mesh)
+state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                   batch_stats=replicate(mset.batch_stats, mesh),
+                   opt_state=replicate(tx.init(mset.params), mesh))
+b = shard_batch(batch, mesh)
+hist = []
+for _ in range(2):
+    state, losses = step(state, b, jax.random.key(0), jnp.asarray(0))
+    hist.append(float(losses["total_loss"]))
+print("RESULT " + json.dumps(hist))
+"""
+
+
+def run_mesh_subprocess(data_ax, model_ax, retries=2):
+    code = RUNNER % {"repo": "/root/repo", "data": data_ax, "model": model_ax}
+    last = None
+    for _ in range(retries + 1):
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=540,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+        last = proc
+    raise AssertionError(
+        f"mesh ({data_ax},{model_ax}) runner failed: rc={last.returncode}\n"
+        + last.stdout[-800:] + last.stderr[-800:]
+    )
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.slow
+def test_dp_and_tp_meshes_match_single_device():
+    hist_dp = run_mesh_subprocess(4, 1)
+    hist_tp = run_mesh_subprocess(2, 2)
+    hist_1 = run_mesh_subprocess(1, 1)
+    # step-1 loss: pure forward partitioning, tight agreement
+    np.testing.assert_allclose(hist_dp[0], hist_1[0], rtol=1e-4)
+    np.testing.assert_allclose(hist_tp[0], hist_1[0], rtol=1e-4)
+    # step-2 loss: includes an optimizer update; Adam amplifies sign flips
+    # of near-zero grads under different reduction orders, so looser
+    np.testing.assert_allclose(hist_dp[1], hist_1[1], rtol=1e-2)
+    np.testing.assert_allclose(hist_tp[1], hist_1[1], rtol=1e-2)
+    assert hist_1[1] < hist_1[0]  # it actually learns
+
+
+def test_tp_actually_shards_wide_kernels():
+    from openess_tpu.config.settings import Settings
+    from openess_tpu.parallel.mesh import make_mesh, shard_params_tp
+    from openess_tpu.training.build import build_models
+
+    s = Settings()
+    s.img_size_b = (16, 32)
+    s.semseg_num_classes = 6
+    s.compute_dtype = "float32"
+    s.if_supervised_only = True
+    s.config_option = "frame2recon"
+    s.__post_init__()
+    mset = build_models(s, seed=0)
+    mesh = make_mesh(4, 2)
+    params = shard_params_tp(mset.params, mesh)
+    k = params["model_recon"]["classifier"]["classifier_conv"]["kernel"]
+    assert k.sharding.spec[-1] == "model", k.sharding.spec
+    k2 = params["model_recon"]["backbone"]["conv1"]["kernel"]
+    assert all(p is None for p in k2.sharding.spec), k2.sharding.spec
