@@ -267,7 +267,7 @@ class StepBuilder:
         s = self.s
         tx = self.tx
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng, epoch):
             rng_aug, rng_loss = jax.random.split(jax.random.fold_in(rng, state.step))
             if s.data_augmentation_train:

@@ -80,7 +80,7 @@ def test_pretrain_frame2recon_all_losses(dataset):
     )
     mset, sb, state, batch, labels = setup(s, dataset)
     step = sb.make_train_step()
-    prev_params = state.params
+    prev_params = jax.device_get(state.params)  # snapshot: step donates its input state
     state, losses = step(state, batch, jax.random.key(0), jnp.asarray(0))
     for k in ("contrastive_nce_loss", "dense_clip_loss", "sam_distillation_loss"):
         assert np.isfinite(float(losses[k])), k
@@ -99,7 +99,7 @@ def test_finetune_recon2voxel_event_path(dataset):
     s = make_settings(if_finetuning=True, config_option="recon2voxel")
     mset, sb, state, batch, _ = setup(s, dataset)
     step = sb.make_train_step()
-    prev_params = state.params
+    prev_params = jax.device_get(state.params)  # snapshot: step donates its input state
     losses_hist = []
     for _ in range(4):
         state, losses = step(state, batch, jax.random.key(1), jnp.asarray(0))
@@ -130,7 +130,7 @@ def test_linear_probe_only_trains_probe(dataset):
     s = make_settings(if_linear_probing=True, config_option="frame2recon")
     mset, sb, state, batch, _ = setup(s, dataset)
     step = sb.make_train_step()
-    prev_params = state.params
+    prev_params = jax.device_get(state.params)  # snapshot: step donates its input state
     state, losses = step(state, batch, jax.random.key(3), jnp.asarray(0))
     assert changed(
         prev_params["model_recon"]["linear_probe"],

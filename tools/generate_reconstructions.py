@@ -77,6 +77,11 @@ def main():
                 )
                 grids[0, wi] = g.transpose(1, 2, 0)
             img = np.asarray(run(grids))[0]
+            # reference post-processing chain (image_reconstructor.py:
+            # intensity rescale + unsharp mask)
+            from openess_tpu.utils.image_filters import intensity_rescale, unsharp_mask
+
+            img = unsharp_mask(intensity_rescale(img), amount=0.3, sigma=1.0)
             rgb = np.repeat((img * 255).astype(np.uint8)[..., None], 3, -1)
             Image.fromarray(rgb).save(op)
             if i % 20 == 0:
