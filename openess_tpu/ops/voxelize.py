@@ -19,6 +19,16 @@ jit/vmap-compatible (static shapes; padding events carry ``valid=False``).
 Scatter-adds lower to XLA's native TPU scatter; x/y/t arrive as separate
 arrays (structure-of-arrays), the layout produced by the HDF5/memmap readers,
 which avoids host-side transposes.
+
+Performance notes (measured on v5e, 16M corner-updates into a 1.5M-cell
+grid): XLA scatter-add 133 ms; sort(81 ms)+sorted-scatter 215 ms;
+sort+cumsum+boundary unique-scatter 219 ms; a Pallas VMEM-resident serial
+scatter is rejected by Mosaic ("cannot statically prove index is a multiple
+of 128" — the TPU ISA has no unaligned per-element VMEM store, so per-event
+scatter cannot vectorize). XLA's scatter (~120M updates/s) is therefore the
+device ceiling; the production data plane uses the native C++ host kernel
+(``openess_tpu.native``, ~175M updates/s/core, threads scale linearly) and
+overlaps it with device compute via the prefetch pipeline.
 """
 from __future__ import annotations
 

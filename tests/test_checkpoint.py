@@ -1,0 +1,85 @@
+"""Orbax checkpoint round-trips: full resume, model-only, partial transfer."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openess_tpu.training import checkpoint as ckpt
+from openess_tpu.training.steps import TrainState
+
+
+def make_state(rng, seed_val=0.0):
+    params = {
+        "model_recon": {
+            "backbone": {"kernel": jnp.asarray(rng.normal(size=(3, 3, 4, 8)), jnp.float32)},
+            "classifier": {"bias": jnp.full((8,), seed_val, jnp.float32)},
+        }
+    }
+    batch_stats = {"model_recon": {"bn": {"mean": jnp.zeros((8,))}}}
+    opt_state = {"count": jnp.asarray(7, jnp.int32)}
+    return TrainState(
+        step=jnp.asarray(42, jnp.int32),
+        params=params, batch_stats=batch_stats, opt_state=opt_state,
+    )
+
+
+def assert_tree_equal(a, b):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_full_checkpoint_roundtrip(tmp_path, rng):
+    state = make_state(rng)
+    ckpt.save_checkpoint(str(tmp_path / "ck"), state, epoch=3)
+    fresh = make_state(np.random.default_rng(9), seed_val=99.0)
+    restored, step = ckpt.restore_checkpoint(str(tmp_path / "ck"), fresh)
+    assert step == 3
+    assert int(restored.step) == 42
+    assert_tree_equal(restored.params, state.params)
+    assert_tree_equal(restored.opt_state, state.opt_state)
+
+
+def test_model_only_roundtrip(tmp_path, rng):
+    state = make_state(rng)
+    ckpt.save_model_only(str(tmp_path), state.params, state.batch_stats, epoch=5)
+    fresh = make_state(np.random.default_rng(3), seed_val=-1.0)
+    params, stats = ckpt.load_model_only(
+        str(tmp_path / "epoch_5"), fresh.params, fresh.batch_stats
+    )
+    assert_tree_equal(params, state.params)
+    assert_tree_equal(stats, state.batch_stats)
+
+
+def test_partial_transfer_shape_filtering(tmp_path, rng):
+    state = make_state(rng)
+    ckpt.save_model_only(str(tmp_path), state.params, state.batch_stats, epoch=0)
+
+    # fresh model with a different-shaped classifier (e.g. new class count)
+    fresh = make_state(np.random.default_rng(5), seed_val=123.0)
+    fresh_params = jax.tree.map(lambda x: x, fresh.params)
+    fresh_params["model_recon"]["classifier"]["bias"] = jnp.full((11,), 5.0)
+    loaded, _ = ckpt.load_pretrained_params(
+        str(tmp_path / "epoch_0"), fresh_params, fresh.batch_stats
+    )
+    # matching shapes load...
+    assert_tree_equal(
+        loaded["model_recon"]["backbone"], state.params["model_recon"]["backbone"]
+    )
+    # ...mismatched shapes keep the fresh init (saver.py:73-96 semantics)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["model_recon"]["classifier"]["bias"]),
+        np.full((11,), 5.0, np.float32),
+    )
+
+
+def test_partial_transfer_exclusions(tmp_path, rng):
+    state = make_state(rng)
+    ckpt.save_model_only(str(tmp_path), state.params, state.batch_stats, epoch=0)
+    fresh = make_state(np.random.default_rng(5), seed_val=77.0)
+    loaded, _ = ckpt.load_pretrained_params(
+        str(tmp_path / "epoch_0"), fresh.params, fresh.batch_stats,
+        exclude_substrings=("classifier",),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded["model_recon"]["classifier"]["bias"]),
+        np.full((8,), 77.0, np.float32),
+    )
