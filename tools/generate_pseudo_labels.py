@@ -14,6 +14,12 @@ The extended-vocabulary -> DSEC remap below mirrors the reference's
 Requires converted CLIP weights (--clip_ckpt, --visual_projs) and text
 embeddings for the extended vocabulary (--text_embeddings, [V, 512]).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import glob
 import os

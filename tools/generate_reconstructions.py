@@ -8,6 +8,12 @@ slices the trailing event windows, voxelizes on the native host kernel, runs
 the jit-compiled recurrent reconstructor, and writes the final grayscale
 frame as an RGB PNG under ``reconstructions/``.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import os
 from pathlib import Path

@@ -9,6 +9,12 @@ processes with --shard/--num_shards (the reference's multi-GPU fan-out,
 superpixel_generation_ddd17_sam_ddp.py:96-124, is embarrassingly parallel —
 no inter-process communication needed).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import glob
 import os
