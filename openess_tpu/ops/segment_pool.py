@@ -115,12 +115,14 @@ def _pallas_pool_sums(feats_p, ids_p, s_pad: int, chunk: int, precision):
 
 def _pallas_pool_sums_fwd(feats_p, ids_p, s_pad, chunk, precision):
     out = _pallas_pool_sums(feats_p, ids_p, s_pad, chunk, precision)
-    return out, ids_p
+    # dtype-carrying empty residual so bwd can match the primal feats dtype
+    return out, (ids_p, jnp.zeros((0,), feats_p.dtype))
 
 
-def _pallas_pool_sums_bwd(s_pad, chunk, precision, ids_p, cotangents):
+def _pallas_pool_sums_bwd(s_pad, chunk, precision, res, cotangents):
+    ids_p, dtype_token = res
     g_sums, _g_counts = cotangents  # counts are feats-independent
-    g_feats = jnp.take(g_sums, ids_p[:, 0], axis=0).astype(g_sums.dtype)
+    g_feats = jnp.take(g_sums, ids_p[:, 0], axis=0).astype(dtype_token.dtype)
     return g_feats, None
 
 
@@ -153,15 +155,23 @@ def segment_mean_pool_pallas(
         feats, seg_ids, segments_per_image
     )
     n, d = feats_flat.shape
+    # Clamp the chunk so the double-buffered feats block stays well inside
+    # VMEM (measured: chunk*d*4 > ~2 MB triggers scoped-vmem OOM on v5e).
+    chunk = max(128, min(chunk, (2 * 1024 * 1024) // max(d * 4, 1)))
     # Pad segments to the lane width; pad pixels to the chunk size with a
     # sentinel segment id pointing at the padded region.
     s_pad = max(128, ((num_segments + 1 + 127) // 128) * 128)
     n_pad = ((n + chunk - 1) // chunk) * chunk
-    ids_p = jnp.full((n_pad, 1), num_segments, jnp.int32)
-    ids_p = ids_p.at[:n, 0].set(ids_flat.astype(jnp.int32))
-    feats_p = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(
-        feats_flat.astype(jnp.float32)
-    )
+    if n_pad == n:
+        # zero-copy fast path (production shapes are chunk-aligned)
+        ids_p = ids_flat.astype(jnp.int32)[:, None]
+        feats_p = feats_flat
+    else:
+        ids_p = jnp.full((n_pad, 1), num_segments, jnp.int32)
+        ids_p = ids_p.at[:n, 0].set(ids_flat.astype(jnp.int32))
+        # keep the (large) feature tensor in its input dtype — upcasting to
+        # f32 here would double the HBM stream; the kernel accumulates f32.
+        feats_p = jnp.zeros((n_pad, d), feats_flat.dtype).at[:n].set(feats_flat)
 
     chunk = min(chunk, n_pad)
     sums, counts = _pallas_pool_sums(feats_p, ids_p, s_pad, chunk, precision)
