@@ -72,6 +72,9 @@ class Settings:
     save_checkpoint: bool = True
     resume_training: bool = False
     resume_ckpt_file: str = ""
+    # reference resumes with load_optimizer=False (base_trainer_ov.py:36);
+    # set True for bit-exact continuation including optimizer moments
+    resume_restore_optimizer: bool = False
     load_pretrained_weights: bool = False
     pretrained_file: str = ""
     # --- dirs ---
@@ -195,6 +198,7 @@ def load_settings(settings_yaml: str, generate_log: bool = False) -> Settings:
     s.save_checkpoint = bool(ck.get("save_checkpoint", True))
     s.resume_training = bool(ck.get("resume_training", False))
     s.resume_ckpt_file = ck.get("resume_file", "") or ""
+    s.resume_restore_optimizer = bool(ck.get("restore_optimizer", False))
     # clip
     c = y.get("clip", {})
     s.config_option = c.get("config_option", s.config_option)

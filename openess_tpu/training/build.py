@@ -208,6 +208,12 @@ def trainable_labels(mset: ModelSet, s: Settings):
         group = mset.groups[model]
         sub = "/".join(keys[1:])
         if role == "e2vid":
+            # finetune_trainer.py:207-214 adds E2VID params to the voxel
+            # optimizer under unfrozen_e2vid. (In the reference the latents
+            # are still detached so those params never see gradients; here
+            # the flag is genuinely functional — steps.py skips the detach.)
+            if s.unfrozen_e2vid and s.if_finetuning:
+                return group
             return "frozen"
         if role == "teacher":
             return "frozen" if sub.startswith("encoder") else group

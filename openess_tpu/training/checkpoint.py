@@ -51,12 +51,19 @@ def save_model_only(ckpt_dir: str, params, batch_stats, epoch: int):
     ckptr.wait_until_finished()
 
 
-def restore_checkpoint(ckpt_dir: str, state, step: Optional[int] = None):
-    """Resume: restores params/batch_stats/opt_state/step into ``state``.
+def restore_checkpoint(
+    ckpt_dir: str,
+    state,
+    step: Optional[int] = None,
+    *,
+    restore_optimizer: bool = False,
+):
+    """Resume: restores params/batch_stats/step into ``state``.
 
-    Note the reference deliberately does NOT restore optimizers on resume
-    (base_trainer_ov.py:36, load_optimizer=False); we restore everything and
-    leave dropping the optimizer to the caller if exact parity is wanted.
+    ``restore_optimizer=False`` (the default) matches the reference, which
+    deliberately does NOT restore optimizers on resume (base_trainer_ov.py:36,
+    load_optimizer=False) — the optimizer keeps its fresh init. Pass True for
+    bit-exact training continuation.
     """
     mgr = _mgr(ckpt_dir)
     target = {
@@ -74,7 +81,9 @@ def restore_checkpoint(ckpt_dir: str, state, step: Optional[int] = None):
         step=restored["step"],
         params=restored["params"],
         batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"],
+        opt_state=(
+            restored["opt_state"] if restore_optimizer else state.opt_state
+        ),
     ), step
 
 

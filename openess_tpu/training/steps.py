@@ -88,17 +88,24 @@ class StepBuilder:
         return feats
 
     def _event_path(self, params, bstats, windows, train, rng):
-        """E2VID scan -> detached latent -> SemSegE2VID head.
+        """E2VID scan -> (detached) latent -> SemSegE2VID head.
 
         The detach matches pretrain_trainer.py:551-552 / finetune_trainer.py:
-        375-377 — gradients never reach E2VID through the latent.
+        375-377 — gradients never reach E2VID through the latent. Exception:
+        ``unfrozen_e2vid`` fine-tuning keeps the latent differentiable so the
+        E2VID params the reference adds to the voxel optimizer
+        (finetune_trainer.py:207-214) actually receive gradients.
         """
         (_, latent), _ = self._apply(
             "front_sensor_b", params, bstats, windows, train=False
         )
-        latent = {
-            k: jax.lax.stop_gradient(latent[k]) for k in ("2", "4", "8")
-        }
+        e2vid_trains = (
+            train and self.s.unfrozen_e2vid and self.s.if_finetuning
+        )
+        if not e2vid_trains:
+            latent = {
+                k: jax.lax.stop_gradient(latent[k]) for k in ("2", "4", "8")
+            }
         (logits, feat256), _ = self._apply(
             "back_end", params, bstats, latent, self.mset.text_embeddings,
             train=train, rng=rng,
@@ -170,14 +177,14 @@ class StepBuilder:
                 logits_voxel, feat_voxel = self._event_path(
                     params, bstats, batch["event"], True, rng_d1
                 )
-                pl = switchable_pl(logits_voxel, batch["pl"])
-                l_dense = tloss(logits_voxel, pl)
-                losses["dense_clip_loss"] = l_dense
                 if s.if_spatial_contrastive:
                     l = contrastive(feat_voxel, feat_teacher, s.superpixel_size)
                     losses["contrastive_nce_loss"] = l
                     t_loss += l
                 if s.if_dense_clip_supervision:
+                    pl = switchable_pl(logits_voxel, batch["pl"])
+                    l_dense = tloss(logits_voxel, pl)
+                    losses["dense_clip_loss"] = l_dense
                     t_loss += l_dense
             else:
                 raise NotImplementedError(opt)

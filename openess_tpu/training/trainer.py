@@ -74,7 +74,8 @@ class Trainer:
         self.epoch = 0
         if settings.resume_training and settings.resume_ckpt_file:
             state, self.epoch = ckpt.restore_checkpoint(
-                settings.resume_ckpt_file, state
+                settings.resume_ckpt_file, state,
+                restore_optimizer=settings.resume_restore_optimizer,
             )
             log.info("resumed from %s at epoch %d", settings.resume_ckpt_file, self.epoch)
         self.state = replicate(state, self.mesh)
@@ -98,27 +99,32 @@ class Trainer:
         yield from loader
 
     def train_epoch(self) -> dict:
-        sums, count = {}, 0
+        # Every batch's losses accumulate on-device (no per-step host sync);
+        # one fetch at epoch end gives true epoch averages.
+        sums, count = None, 0
         t0 = time.time()
         for bi, batch in enumerate(self._batches(self.train_data, train=True)):
             self.state, losses = self.train_step(
                 self.state, batch, self.rng, jnp.asarray(self.epoch)
             )
             count += 1
+            sums = losses if sums is None else jax.tree.map(
+                jnp.add, sums, losses
+            )
             if (bi + 1) % 20 == 0 or bi == 0:
-                vals = {k: float(v) for k, v in losses.items()}
-                sums = {k: sums.get(k, 0.0) + v for k, v in vals.items()}
                 log.info(
                     "epoch %d batch %d: %s",
                     self.epoch, bi,
-                    {k: round(v, 4) for k, v in vals.items()},
+                    {k: round(float(v), 4) for k, v in losses.items()},
                 )
         dt = time.time() - t0
         log.info(
             "epoch %d done: %d steps in %.1fs (%.2f steps/s)",
             self.epoch, count, dt, count / max(dt, 1e-9),
         )
-        return {k: v / max(count // 20, 1) for k, v in sums.items()}
+        if sums is None:
+            return {}
+        return {k: float(v) / count for k, v in sums.items()}
 
     def val_epoch(self) -> dict:
         if self.val_data is None:

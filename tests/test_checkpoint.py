@@ -7,7 +7,7 @@ from openess_tpu.training import checkpoint as ckpt
 from openess_tpu.training.steps import TrainState
 
 
-def make_state(rng, seed_val=0.0):
+def make_state(rng, seed_val=0.0, opt_count=7):
     params = {
         "model_recon": {
             "backbone": {"kernel": jnp.asarray(rng.normal(size=(3, 3, 4, 8)), jnp.float32)},
@@ -15,7 +15,7 @@ def make_state(rng, seed_val=0.0):
         }
     }
     batch_stats = {"model_recon": {"bn": {"mean": jnp.zeros((8,))}}}
-    opt_state = {"count": jnp.asarray(7, jnp.int32)}
+    opt_state = {"count": jnp.asarray(opt_count, jnp.int32)}
     return TrainState(
         step=jnp.asarray(42, jnp.int32),
         params=params, batch_stats=batch_stats, opt_state=opt_state,
@@ -28,14 +28,21 @@ def assert_tree_equal(a, b):
 
 
 def test_full_checkpoint_roundtrip(tmp_path, rng):
-    state = make_state(rng)
+    state = make_state(rng, opt_count=7)
     ckpt.save_checkpoint(str(tmp_path / "ck"), state, epoch=3)
-    fresh = make_state(np.random.default_rng(9), seed_val=99.0)
+    fresh = make_state(np.random.default_rng(9), seed_val=99.0, opt_count=0)
     restored, step = ckpt.restore_checkpoint(str(tmp_path / "ck"), fresh)
     assert step == 3
     assert int(restored.step) == 42
     assert_tree_equal(restored.params, state.params)
-    assert_tree_equal(restored.opt_state, state.opt_state)
+    # default matches the reference (base_trainer_ov.py:36 load_optimizer=
+    # False): the optimizer keeps its fresh init
+    assert int(restored.opt_state["count"]) == 0
+    # opt-in exact continuation restores the saved optimizer state
+    restored2, _ = ckpt.restore_checkpoint(
+        str(tmp_path / "ck"), fresh, restore_optimizer=True
+    )
+    assert int(restored2.opt_state["count"]) == 7
 
 
 def test_model_only_roundtrip(tmp_path, rng):

