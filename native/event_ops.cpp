@@ -10,12 +10,42 @@
 //
 // Build: make -C native   (g++ -O3 -march=native -shared -fPIC)
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
 #include <algorithm>
 #include <thread>
 #include <vector>
+
+namespace {
+
+// Nonzero mean/std normalization of a scratch grid. mode: 0 = none,
+// 1 = unbiased std (torch default, representations.py:45-53),
+// 2 = biased std (np.std, data_util.py:38-48).
+void normalize_nonzero_mode(float* g, int64_t n, int mode) {
+  if (mode == 0) return;
+  double sum = 0, sq = 0;
+  int64_t cnt = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const float v = g[i];
+    if (v != 0.f) { sum += v; sq += (double)v * v; ++cnt; }
+  }
+  if (cnt == 0) return;
+  const double mean = sum / cnt;
+  double var = sq / cnt - mean * mean;
+  if (mode == 1) {
+    if (cnt < 2) return;
+    var *= (double)cnt / (double)(cnt - 1);
+  }
+  if (var <= 0) return;
+  const float m = (float)mean, inv = (float)(1.0 / std::sqrt(var));
+  for (int64_t i = 0; i < n; ++i) {
+    if (g[i] != 0.f) g[i] = (g[i] - m) * inv;
+  }
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -116,6 +146,162 @@ void voxelize_trilinear_mt(
   for (auto& g : priv) {
     for (int64_t i = 0; i < cells; ++i) grid[i] += g[i];
   }
+}
+
+// Batched windowed DSEC trilinear voxelization: n_win independent windows,
+// window w holding counts[w] valid events at offset w*K in the flat x/y/p/t
+// arrays. Windows are distributed dynamically across n_threads; each thread
+// reuses one private CHW scratch grid. Per window: trilinear scatter,
+// optional nonzero normalization (norm_mode as above), bottom-crop, and an
+// HWC transpose straight into out[w] = [(H-crop_bottom), W, C]. This batches
+// the whole input-pipeline hot loop (dsec.py get_batch) into ONE native call
+// whose parallel axis is the B*T window grid.
+void voxelize_trilinear_windows(
+    const float* x, const float* y, const float* p, const float* t,
+    const int64_t* counts, int64_t n_win, int64_t K,
+    int C, int H, int W, int crop_bottom, int norm_mode,
+    float* out, int n_threads) {
+  const int Ho = H - crop_bottom;
+  const int64_t cells = (int64_t)C * H * W;
+  const int64_t out_cells = (int64_t)Ho * W * C;
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  n_threads = (int)std::min<int64_t>(std::max(n_threads, 1), n_win);
+
+  std::atomic<int64_t> next(0);
+  auto work = [&]() {
+    std::vector<float> scratch(cells);
+    const int64_t HW = (int64_t)H * W;
+    for (;;) {
+      const int64_t w = next.fetch_add(1);
+      if (w >= n_win) return;
+      float* o = out + w * out_cells;
+      const int64_t n = counts[w];
+      if (n == 0) {
+        std::memset(o, 0, out_cells * sizeof(float));
+        continue;
+      }
+      float* g = scratch.data();
+      std::memset(g, 0, cells * sizeof(float));
+      voxelize_trilinear(x + w * K, y + w * K, p + w * K, t + w * K,
+                         n, C, H, W, g);
+      normalize_nonzero_mode(g, cells, norm_mode);
+      for (int c = 0; c < C; ++c) {
+        const float* gc = g + (int64_t)c * HW;
+        for (int h = 0; h < Ho; ++h) {
+          const float* row = gc + (int64_t)h * W;
+          float* orow = o + ((int64_t)h * W) * C + c;
+          for (int wv = 0; wv < W; ++wv) orow[(int64_t)wv * C] = row[wv];
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int ti = 1; ti < n_threads; ++ti) threads.emplace_back(work);
+  work();
+  for (auto& th : threads) th.join();
+}
+
+// Batched windowed DDD17 voxelization (bilinear in t, per-polarity), same
+// window layout as voxelize_trilinear_windows. out[w] = [H, W, Cout] with
+// Cout = 2*C (separate_pol: pos bins then neg bins) or C (pos - neg).
+void voxelize_bilinear_t_windows(
+    const float* x, const float* y, const float* p, const float* t,
+    const int64_t* counts, int64_t n_win, int64_t K,
+    int C, int H, int W, int separate_pol, int norm_mode,
+    float* out, int n_threads) {
+  const int Cout = separate_pol ? 2 * C : C;
+  const int64_t HW = (int64_t)H * W;
+  const int64_t cells = (int64_t)C * HW;
+  const int64_t out_cells = (int64_t)HW * Cout;
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  n_threads = (int)std::min<int64_t>(std::max(n_threads, 1), n_win);
+
+  std::atomic<int64_t> next(0);
+  auto work = [&]() {
+    std::vector<float> pos(cells), neg(cells), merged;
+    if (!separate_pol) merged.resize(cells);
+    for (;;) {
+      const int64_t w = next.fetch_add(1);
+      if (w >= n_win) return;
+      float* o = out + w * out_cells;
+      const int64_t n = counts[w];
+      if (n == 0) {
+        std::memset(o, 0, out_cells * sizeof(float));
+        continue;
+      }
+      std::memset(pos.data(), 0, cells * sizeof(float));
+      std::memset(neg.data(), 0, cells * sizeof(float));
+      // integer-coordinate variant taking float inputs (loader arrays are
+      // f32); time math in double as in voxelize_bilinear_t
+      {
+        const float* xs = x + w * K;
+        const float* ys = y + w * K;
+        const float* ps = p + w * K;
+        const float* ts = t + w * K;
+        const double t0v = (double)ts[0];
+        double dt = (double)ts[n - 1] - t0v;
+        if (dt == 0) dt = 1.0;
+        const double tscale = (C - 1) / dt;
+        for (int64_t i = 0; i < n; ++i) {
+          const int64_t xi = (int64_t)xs[i], yi = (int64_t)ys[i];
+          if (xi < 0 || xi >= W || yi < 0 || yi >= H) continue;
+          const double tsn = ((double)ts[i] - t0v) * tscale;
+          if (tsn < 0 || tsn >= C) continue;
+          const int ti = (int)tsn;
+          const float dts = (float)(tsn - ti);
+          float* g = (ps[i] == 1.f) ? pos.data() : neg.data();
+          const int64_t base = (int64_t)yi * W + xi;
+          if (ti < C) g[ti * HW + base] += 1.f - dts;
+          if (ti + 1 < C) g[(ti + 1) * HW + base] += dts;
+        }
+      }
+      if (separate_pol) {
+        // normalize over the concatenated (pos, neg) grid like the numpy
+        // reference (data_util.py:38-48 applies to the stacked grid)
+        if (norm_mode) {
+          std::vector<float>* grids[2] = {&pos, &neg};
+          double sum = 0, sq = 0;
+          int64_t cnt = 0;
+          for (auto* gv : grids)
+            for (int64_t i = 0; i < cells; ++i) {
+              const float v = (*gv)[i];
+              if (v != 0.f) { sum += v; sq += (double)v * v; ++cnt; }
+            }
+          if (cnt > 0) {
+            const double mean = sum / cnt;
+            double var = sq / cnt - mean * mean;
+            if (norm_mode == 1 && cnt >= 2)
+              var *= (double)cnt / (double)(cnt - 1);
+            if (var > 0) {
+              const float m = (float)mean, inv = (float)(1.0 / std::sqrt(var));
+              for (auto* gv : grids)
+                for (int64_t i = 0; i < cells; ++i)
+                  if ((*gv)[i] != 0.f) (*gv)[i] = ((*gv)[i] - m) * inv;
+            }
+          }
+        }
+        for (int c = 0; c < C; ++c) {
+          const float* gp = pos.data() + (int64_t)c * HW;
+          const float* gn = neg.data() + (int64_t)c * HW;
+          for (int64_t hw = 0; hw < HW; ++hw) {
+            o[hw * Cout + c] = gp[hw];
+            o[hw * Cout + C + c] = gn[hw];
+          }
+        }
+      } else {
+        for (int64_t i = 0; i < cells; ++i) merged[i] = pos[i] - neg[i];
+        normalize_nonzero_mode(merged.data(), cells, norm_mode);
+        for (int c = 0; c < C; ++c) {
+          const float* gm = merged.data() + (int64_t)c * HW;
+          for (int64_t hw = 0; hw < HW; ++hw) o[hw * Cout + c] = gm[hw];
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int ti = 1; ti < n_threads; ++ti) threads.emplace_back(work);
+  work();
+  for (auto& th : threads) th.join();
 }
 
 // DDD17-style voxel grid: integer coords, bilinear binning along time only,

@@ -261,26 +261,32 @@ class DDD17Dataset:
         return batch
 
     def _host_voxelize(self, ev):
-        """Native host voxelization + torch-exact bilinear resize + crop."""
-        from openess_tpu.native import voxelize_bilinear_t_host
+        """Native batched host voxelization (one call, parallel across the
+        B*T windows) + torch-exact bilinear resize + crop."""
+        from openess_tpu.native import voxelize_bilinear_t_windows_host
         from openess_tpu.ops.resize import resize_bilinear
 
         s = self.s
         T, bins = s.nr_events_data_b, s.nr_temporal_bins_b
         C = bins * (2 if s.separate_pol_b else 1)
-        grids = np.zeros((len(ev), T, HEIGHT, WIDTH, C), np.float32)
-        for bi, (x, y, p, t, valid) in enumerate(ev):
-            for wi in range(T):
-                m = valid[wi]
-                g = voxelize_bilinear_t_host(
-                    x[wi][m], y[wi][m], p[wi][m], t[wi][m].astype(np.int64),
-                    bins, HEIGHT, WIDTH, separate_pol=s.separate_pol_b,
-                )
-                if s.normalize_event_b:
-                    from openess_tpu.ops import normalize_nonzero
-
-                    g = np.asarray(normalize_nonzero(g, unbiased=False))
-                grids[bi, wi] = g.transpose(1, 2, 0)
+        B = len(ev)
+        K = ev[0][0].shape[1]
+        x = np.stack([e[0] for e in ev]).reshape(B * T, K)
+        y = np.stack([e[1] for e in ev]).reshape(B * T, K)
+        p = np.stack([e[2] for e in ev]).reshape(B * T, K)
+        t = np.stack([e[3] for e in ev]).reshape(B * T, K)
+        counts = (
+            np.stack([e[4] for e in ev])
+            .reshape(B * T, K)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        grids = voxelize_bilinear_t_windows_host(
+            x, y, p, t, counts, bins, HEIGHT, WIDTH,
+            separate_pol=s.separate_pol_b,
+            norm_mode=2 if s.normalize_event_b else 0,
+            n_threads=s.num_cpu_workers,
+        ).reshape(B, T, HEIGHT, WIDTH, C)
         out = np.asarray(
             resize_bilinear(grids, out_h=HEIGHT, out_w=RESIZE_W, align_corners=True)
         )

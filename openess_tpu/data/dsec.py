@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -96,6 +97,10 @@ class DSECSequence:
         ev_dir = self.seq_path / "events" / "left"
         self._h5f = h5py.File(str(ev_dir / "events.h5"), "r")
         self.slicer = EventSlicer(self._h5f)
+        # h5py handles are not safe for concurrent reads; the PrefetchLoader
+        # may assemble several batches at once, so serialize slicer access
+        # (the expensive voxelization stays parallel)
+        self._h5_lock = threading.Lock()
         with h5py.File(str(ev_dir / "rectify_map.h5"), "r") as f:
             self.rectify_map = f["rectify_map"][()]  # [480, 640, 2]
 
@@ -118,13 +123,15 @@ class DSECSequence:
             ts_start = ts_end - delta_us
             per = delta_us / T
             chunks = []
-            for i in range(T):
-                ev = self.slicer.get_events(
-                    int(ts_start + i * per), int(ts_start + (i + 1) * per)
-                )
-                chunks.append(ev if ev is not None else None)
+            with self._h5_lock:
+                for i in range(T):
+                    ev = self.slicer.get_events(
+                        int(ts_start + i * per), int(ts_start + (i + 1) * per)
+                    )
+                    chunks.append(ev if ev is not None else None)
         else:
-            ev = self.slicer.get_events_fixed_num(ts_end, T * K)
+            with self._h5_lock:
+                ev = self.slicer.get_events_fixed_num(ts_end, T * K)
             n_loaded = ev["t"].size
             per = n_loaded // T
             chunks = [
@@ -246,20 +253,29 @@ class DSECDataset:
             H, W = DSECSequence.HEIGHT, DSECSequence.WIDTH
             bins = s.nr_temporal_bins_b
             if s.host_voxelize:
-                from openess_tpu.native import voxelize_trilinear_host
-                from openess_tpu.ops import normalize_nonzero
+                # one native call voxelizes all B*T windows, parallel across
+                # windows (num_cpu_workers threads), with the nonzero
+                # normalization + 40-row crop + HWC transpose fused in
+                from openess_tpu.native import voxelize_trilinear_windows_host
 
-                out = np.zeros((len(ev), T, H - 40, W, bins), np.float32)
-                for bi, (x, y, p, t, valid) in enumerate(ev):
-                    for wi in range(T):
-                        m = valid[wi]
-                        g = voxelize_trilinear_host(
-                            x[wi][m], y[wi][m], p[wi][m], t[wi][m], bins, H, W
-                        )
-                        if s.normalize_event_b:
-                            g = np.asarray(normalize_nonzero(g, unbiased=True))
-                        out[bi, wi] = g[:, :-40, :].transpose(1, 2, 0)
-                batch["event"] = out
+                B = len(ev)
+                x = np.stack([e[0] for e in ev]).reshape(B * T, K)
+                y = np.stack([e[1] for e in ev]).reshape(B * T, K)
+                p = np.stack([e[2] for e in ev]).reshape(B * T, K)
+                t = np.stack([e[3] for e in ev]).reshape(B * T, K)
+                counts = (
+                    np.stack([e[4] for e in ev])
+                    .reshape(B * T, K)
+                    .sum(axis=1)
+                    .astype(np.int64)
+                )
+                grids = voxelize_trilinear_windows_host(
+                    x, y, p, t, counts, bins, H, W,
+                    crop_bottom=40,
+                    norm_mode=1 if s.normalize_event_b else 0,
+                    n_threads=s.num_cpu_workers,
+                )
+                batch["event"] = grids.reshape(B, T, H - 40, W, bins)
             else:
                 stacked = [
                     np.stack([e[i] for e in ev]).reshape(len(ev), T * K)

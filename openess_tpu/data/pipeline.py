@@ -1,15 +1,18 @@
 """Prefetching input pipeline: overlap host work with device steps.
 
 The reference hides its CPU voxelization cost behind ``num_workers``
-DataLoader processes (base_trainer_ov.py:164-181). Here a background thread
-assembles + device-puts the next batches while the TPU executes the current
-step — the native C++ voxelizer releases the GIL, so one thread suffices on
-this host. ``prefetch`` batches are kept in flight.
+DataLoader processes (base_trainer_ov.py:164-181). Here ``num_workers``
+thread workers assemble + device-put upcoming batches while the TPU executes
+the current step. Threads (not processes) are the right host model: the
+native C++ voxelizer, PNG decode, and h5 chunk decompression all release the
+GIL, and the batched windows-voxelizer additionally fans out across
+``num_cpu_workers`` threads *inside* one native call. Batch order is
+deterministic regardless of worker count (futures are yielded in submission
+order), so shuffles remain reproducible.
 """
 from __future__ import annotations
 
-import queue
-import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import numpy as np
@@ -18,7 +21,8 @@ import numpy as np
 class PrefetchLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool,
                  rng: Optional[np.random.Generator] = None,
-                 put_fn=None, prefetch: int = 2, drop_last: bool = True):
+                 put_fn=None, prefetch: int = 2, drop_last: bool = True,
+                 num_workers: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -26,6 +30,7 @@ class PrefetchLoader:
         self.put_fn = put_fn or (lambda b: b)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.num_workers = max(1, int(num_workers))
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -42,26 +47,22 @@ class PrefetchLoader:
             for i in range(0, stop, self.batch_size)
         ]
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
-        error = []
+        def assemble(idx):
+            return self.put_fn(self.dataset.get_batch(idx))
 
-        def worker():
+        # in-flight window: num_workers batches being assembled plus
+        # `prefetch` completed ones waiting for the consumer
+        max_inflight = self.num_workers + self.prefetch
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = []
+            it = iter(index_batches)
             try:
-                for idx in index_batches:
-                    q.put(self.put_fn(self.dataset.get_batch(idx)))
-            except BaseException as e:  # propagate into the consumer
-                error.append(e)
+                for idx in it:
+                    pending.append(pool.submit(assemble, idx))
+                    if len(pending) >= max_inflight:
+                        yield pending.pop(0).result()
+                while pending:
+                    yield pending.pop(0).result()
             finally:
-                q.put(sentinel)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
-        if error:
-            raise error[0]
+                for f in pending:
+                    f.cancel()

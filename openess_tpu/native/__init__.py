@@ -45,6 +45,12 @@ def _try_load():
         fp, fp, fp, fp, i64, i32, i32, i32, fp, i32
     ]
     lib.voxelize_bilinear_t.argtypes = [ip, ip, fp, ip, i64, i32, i32, i32, fp, fp]
+    lib.voxelize_trilinear_windows.argtypes = [
+        fp, fp, fp, fp, ip, i64, i64, i32, i32, i32, i32, i32, fp, i32
+    ]
+    lib.voxelize_bilinear_t_windows.argtypes = [
+        fp, fp, fp, fp, ip, i64, i64, i32, i32, i32, i32, i32, fp, i32
+    ]
     lib.event_histogram.argtypes = [ip, ip, fp, i64, i32, i32, fp, fp]
     lib.time_indices_offsets.argtypes = [
         ip, i64, i64, i64,
@@ -94,6 +100,111 @@ def voxelize_trilinear_host(
                 w = val * (1 - np.abs(xl - x)) * (1 - np.abs(yl - y)) * (1 - np.abs(tl - tn))
                 np.add.at(grid, ((tl * H + yl) * W + xl)[m], w[m])
     return grid.reshape(C, H, W)
+
+
+def _as_flat_f32(a, n_win, K):
+    a = np.ascontiguousarray(a, np.float32)
+    assert a.size == n_win * K, (a.shape, n_win, K)
+    return a.reshape(n_win * K)
+
+
+def voxelize_trilinear_windows_host(
+    x, y, p, t, counts, num_bins, height, width,
+    *, crop_bottom=0, norm_mode=0, n_threads=1,
+) -> np.ndarray:
+    """Batched DSEC trilinear voxelization of ``n_win`` windows in one native
+    call, parallel across windows. Inputs are [n_win, K] (window w uses its
+    first ``counts[w]`` events); returns [n_win, height-crop_bottom, width,
+    num_bins] NHWC float32. norm_mode: 0 none / 1 unbiased / 2 biased
+    nonzero-normalization (representations.py:45-53 / data_util.py:38-48)."""
+    counts = np.ascontiguousarray(counts, np.int64)
+    n_win = counts.size
+    K = np.asarray(x).size // max(n_win, 1)
+    out = np.zeros(
+        (n_win, height - crop_bottom, width, num_bins), np.float32
+    )
+    lib = _try_load()
+    if lib is not None:
+        lib.voxelize_trilinear_windows(
+            _as_flat_f32(x, n_win, K), _as_flat_f32(y, n_win, K),
+            _as_flat_f32(p, n_win, K), _as_flat_f32(t, n_win, K),
+            counts, n_win, K, num_bins, height, width,
+            crop_bottom, norm_mode, out.reshape(-1), n_threads,
+        )
+        return out
+    # fallback: per-window single calls + numpy normalize/crop/transpose
+    xs = np.asarray(x, np.float32).reshape(n_win, K)
+    ys = np.asarray(y, np.float32).reshape(n_win, K)
+    ps = np.asarray(p, np.float32).reshape(n_win, K)
+    ts = np.asarray(t, np.float32).reshape(n_win, K)
+    for w in range(n_win):
+        n = int(counts[w])
+        if n == 0:
+            continue
+        g = voxelize_trilinear_host(
+            xs[w, :n], ys[w, :n], ps[w, :n], ts[w, :n],
+            num_bins, height, width,
+        )
+        g = _normalize_nonzero_np(g, norm_mode)
+        hcrop = height - crop_bottom
+        out[w] = g[:, :hcrop, :].transpose(1, 2, 0)
+    return out
+
+
+def voxelize_bilinear_t_windows_host(
+    x, y, p, t, counts, num_bins, height, width,
+    *, separate_pol=True, norm_mode=0, n_threads=1,
+) -> np.ndarray:
+    """Batched DDD17 voxelization, one native call parallel across windows.
+    Returns [n_win, height, width, Cout] with Cout = 2*num_bins
+    (separate_pol: pos bins then neg) or num_bins (pos - neg)."""
+    counts = np.ascontiguousarray(counts, np.int64)
+    n_win = counts.size
+    K = np.asarray(x).size // max(n_win, 1)
+    cout = 2 * num_bins if separate_pol else num_bins
+    out = np.zeros((n_win, height, width, cout), np.float32)
+    lib = _try_load()
+    if lib is not None:
+        lib.voxelize_bilinear_t_windows(
+            _as_flat_f32(x, n_win, K), _as_flat_f32(y, n_win, K),
+            _as_flat_f32(p, n_win, K), _as_flat_f32(t, n_win, K),
+            counts, n_win, K, num_bins, height, width,
+            1 if separate_pol else 0, norm_mode, out.reshape(-1), n_threads,
+        )
+        return out
+    xs = np.asarray(x, np.float32).reshape(n_win, K)
+    ys = np.asarray(y, np.float32).reshape(n_win, K)
+    ps = np.asarray(p, np.float32).reshape(n_win, K)
+    ts = np.asarray(t, np.float32).reshape(n_win, K)
+    for w in range(n_win):
+        n = int(counts[w])
+        if n == 0:
+            continue
+        g = voxelize_bilinear_t_host(
+            xs[w, :n].astype(np.int64), ys[w, :n].astype(np.int64),
+            ps[w, :n], ts[w, :n].astype(np.int64),
+            num_bins, height, width, separate_pol=separate_pol,
+        )
+        g = _normalize_nonzero_np(g, norm_mode)
+        out[w] = g.transpose(1, 2, 0)
+    return out
+
+
+def _normalize_nonzero_np(g: np.ndarray, norm_mode: int) -> np.ndarray:
+    if norm_mode == 0:
+        return g
+    mask = g != 0
+    cnt = int(mask.sum())
+    if cnt == 0:
+        return g
+    vals = g[mask]
+    mean = vals.mean()
+    std = vals.std(ddof=1 if norm_mode == 1 else 0)
+    if not np.isfinite(std) or std == 0:
+        return g
+    g = g.copy()
+    g[mask] = (vals - mean) / std
+    return g
 
 
 def voxelize_bilinear_t_host(

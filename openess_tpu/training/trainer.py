@@ -95,6 +95,7 @@ class Trainer:
             dataset, self.s.batch_size_b,
             shuffle=train, rng=self.np_rng,
             put_fn=lambda b: shard_batch(b, self.mesh),
+            num_workers=self.s.num_cpu_workers,
         )
         yield from loader
 

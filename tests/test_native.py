@@ -45,3 +45,67 @@ def test_native_bilinear_t_matches_device_op(rng, separate_pol):
         )
     )
     np.testing.assert_allclose(native, device, atol=2e-3)
+
+
+def _window_events(rng, n_win, K, H, W, tmax=1e6):
+    x = rng.uniform(-0.5, W + 0.5, (n_win, K)).astype(np.float32)
+    y = rng.uniform(-0.5, H + 0.5, (n_win, K)).astype(np.float32)
+    p = rng.integers(0, 2, (n_win, K)).astype(np.float32)
+    t = np.sort(rng.uniform(0, tmax, (n_win, K)), axis=1).astype(np.float32)
+    counts = rng.integers(0, K + 1, n_win).astype(np.int64)
+    counts[0] = 0        # empty window
+    counts[1] = K        # full window
+    return x, y, p, t, counts
+
+
+@pytest.mark.parametrize("norm_mode", [0, 1])
+@pytest.mark.parametrize("n_threads", [1, 3])
+def test_trilinear_windows_matches_per_window(rng, norm_mode, n_threads):
+    from openess_tpu.native import voxelize_trilinear_windows_host
+
+    C, H, W, K, n_win = 5, 30, 42, 600, 7
+    crop = 4
+    x, y, p, t, counts = _window_events(rng, n_win, K, H, W)
+    out = voxelize_trilinear_windows_host(
+        x, y, p, t, counts, C, H, W,
+        crop_bottom=crop, norm_mode=norm_mode, n_threads=n_threads,
+    )
+    assert out.shape == (n_win, H - crop, W, C)
+    for w in range(n_win):
+        n = int(counts[w])
+        if n == 0:
+            np.testing.assert_array_equal(out[w], 0)
+            continue
+        g = voxelize_trilinear_host(x[w, :n], y[w, :n], p[w, :n], t[w, :n], C, H, W)
+        if norm_mode:
+            mask = g != 0
+            vals = g[mask]
+            g = g.copy()
+            g[mask] = (vals - vals.mean()) / vals.std(ddof=1)
+        np.testing.assert_allclose(out[w], g[:, : H - crop].transpose(1, 2, 0), atol=1e-5)
+
+
+@pytest.mark.parametrize("separate_pol", [True, False])
+def test_bilinear_t_windows_matches_per_window(rng, separate_pol):
+    from openess_tpu.native import voxelize_bilinear_t_windows_host
+
+    C, H, W, K, n_win = 5, 26, 35, 500, 6
+    x = rng.integers(0, W, (n_win, K)).astype(np.float32)
+    y = rng.integers(0, H, (n_win, K)).astype(np.float32)
+    p = rng.integers(0, 2, (n_win, K)).astype(np.float32)
+    t = np.sort(rng.integers(0, 10**6, (n_win, K)), axis=1).astype(np.float32)
+    counts = rng.integers(1, K + 1, n_win).astype(np.int64)
+    out = voxelize_bilinear_t_windows_host(
+        x, y, p, t, counts, C, H, W,
+        separate_pol=separate_pol, n_threads=2,
+    )
+    cout = 2 * C if separate_pol else C
+    assert out.shape == (n_win, H, W, cout)
+    for w in range(n_win):
+        n = int(counts[w])
+        g = voxelize_bilinear_t_host(
+            x[w, :n].astype(np.int64), y[w, :n].astype(np.int64),
+            p[w, :n], t[w, :n].astype(np.int64),
+            C, H, W, separate_pol=separate_pol,
+        )
+        np.testing.assert_allclose(out[w], g.transpose(1, 2, 0), atol=1e-5)
