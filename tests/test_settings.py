@@ -1,20 +1,46 @@
-"""Settings must parse the reference's own YAML files 1:1."""
+"""Settings: parse the repo's own config matrix 1:1; when the reference
+mount is present, additionally check field-fidelity of every translated YAML
+against the reference-parsed original."""
+import dataclasses
 import glob
+import os
 
 import pytest
 
 from openess_tpu.config.settings import load_settings
-from openess_tpu.training.build import task_from_settings
+from openess_tpu.training.build import build_models, task_from_settings
 
-REF_CONFIGS = sorted(glob.glob("/root/reference/config/**/*.yaml", recursive=True))
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPO_CONFIGS = sorted(
+    p
+    for p in glob.glob(os.path.join(HERE, "configs", "**", "*.yaml"), recursive=True)
+    if "synthetic" not in p
+)
+REF_ROOT = "/root/reference/config"
 
 
-def test_reference_configs_found():
-    assert len(REF_CONFIGS) >= 30, REF_CONFIGS
+def _rel(p):
+    return os.path.relpath(p, os.path.join(HERE, "configs"))
 
 
-@pytest.mark.parametrize("path", REF_CONFIGS, ids=lambda p: p.split("config/")[-1])
-def test_parse_reference_yaml(path):
+def test_repo_config_matrix_complete():
+    assert len(REPO_CONFIGS) == 36, REPO_CONFIGS
+    rels = {_rel(p) for p in REPO_CONFIGS}
+    # the reference matrix: {pretrain, linear_probe} x {DSEC, DDD17} x
+    # {frame2recon, frame2voxel} x {sam, slic} + finetunes x label ratios
+    for task in ("pretrain", "linear_probe"):
+        for ds in ("DSEC", "DDD17"):
+            for opt in ("frame2recon", "frame2voxel"):
+                for sp in ("sam", "slic"):
+                    assert f"{task}/{ds}/{opt}_fcclip_{sp}.yaml" in rels
+    for ds in ("DSEC", "DDD17"):
+        for sp in ("sam", "slic"):
+            for ratio in (1, 5, 10, 20, 100):
+                assert f"finetunes/{ds}/{sp}/frame2recon_fcclip_{sp}_{ratio}.yaml" in rels
+
+
+@pytest.mark.parametrize("path", REPO_CONFIGS, ids=_rel)
+def test_parse_repo_yaml(path):
     s = load_settings(path, generate_log=False)
     assert s.semseg_num_classes in (6, 11, 19)
     assert s.config_option in (
@@ -29,11 +55,32 @@ def test_parse_reference_yaml(path):
         assert s.input_channels_b == s.nr_temporal_bins_b * (
             2 if s.separate_pol_b else 1
         )
+    assert s.compute_dtype == "bfloat16"  # tpu: section honored
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_ROOT), reason="reference mount absent")
+@pytest.mark.parametrize("path", REPO_CONFIGS, ids=_rel)
+def test_translated_yaml_matches_reference(path):
+    ref_path = os.path.join(REF_ROOT, _rel(path))
+    a = load_settings(path, generate_log=False)
+    b = load_settings(ref_path, generate_log=False)
+    skip = {
+        "compute_dtype", "mesh_data", "mesh_model",  # tpu extras
+        "ckpt_dir", "vis_dir", "logger",  # log-dir derived
+        "semseg_color_map",  # ndarray, derived from semseg_num_classes
+    }
+    for f in dataclasses.fields(a):
+        if f.name in skip:
+            continue
+        va, vb = getattr(a, f.name), getattr(b, f.name)
+        if isinstance(va, (list, tuple)):
+            va, vb = tuple(va), tuple(vb)
+        assert va == vb, (f.name, va, vb)
 
 
 def test_pretrain_yaml_field_fidelity():
     s = load_settings(
-        "/root/reference/config/pretrain/DSEC/frame2recon_fcclip_sam.yaml",
+        os.path.join(HERE, "configs/pretrain/DSEC/frame2recon_fcclip_sam.yaml"),
         generate_log=False,
     )
     assert s.dataset_name_b == "DSEC_events"
@@ -50,3 +97,87 @@ def test_pretrain_yaml_field_fidelity():
     assert s.lr_recon == 5e-4 and s.lr_frame == 5e-4
     assert tuple(s.task_loss) == ("dice", "cross_entropy")
     assert task_from_settings(s) == "pretrain"
+
+
+def test_finetune_yaml_field_fidelity():
+    s = load_settings(
+        os.path.join(
+            HERE, "configs/finetunes/DSEC/sam/frame2recon_fcclip_sam_10.yaml"
+        ),
+        generate_log=False,
+    )
+    assert s.if_finetuning and not s.if_pretraining
+    assert s.skip_ratio == 10
+    assert s.num_epochs == 100
+    assert s.lr_recon == 1e-5
+    assert s.unfrozen_e2vid is True
+    assert s.load_pretrained_weights is True
+    assert s.num_cpu_workers == 4
+    assert task_from_settings(s) == "finetune"
+
+
+# one config per (task x option x dataset) cell of the matrix
+_BUILD_CELLS = [
+    "pretrain/DSEC/frame2recon_fcclip_sam.yaml",
+    "pretrain/DSEC/frame2voxel_fcclip_slic.yaml",
+    "pretrain/DDD17/frame2recon_fcclip_slic.yaml",
+    "pretrain/DDD17/frame2voxel_fcclip_sam.yaml",
+    "linear_probe/DSEC/frame2recon_fcclip_sam.yaml",
+    "linear_probe/DSEC/frame2voxel_fcclip_sam.yaml",
+    "linear_probe/DDD17/frame2recon_fcclip_slic.yaml",
+    "linear_probe/DDD17/frame2voxel_fcclip_slic.yaml",
+    "finetunes/DSEC/sam/frame2recon_fcclip_sam_100.yaml",
+    "finetunes/DDD17/slic/frame2recon_fcclip_slic_1.yaml",
+]
+
+
+@pytest.mark.parametrize("rel", _BUILD_CELLS)
+def test_build_models_from_config(rel):
+    s = load_settings(os.path.join(HERE, "configs", rel), generate_log=False)
+    # shrink for CPU test speed; build structure is shape-independent
+    s.img_size_b = (64, 96)
+    s.compute_dtype = "float32"
+    s.nr_events_data_b = 2
+    s.__post_init__()
+    mset = build_models(s, seed=0)
+    assert mset.params
+    # NOTE two reference config quirks, mirrored faithfully:
+    # (a) most shipped linear_probe YAMLs leave clip.if_pretraining=True and
+    #     train.py:36-50 checks it FIRST, so they dispatch to pretrain;
+    # (b) linear_probe/DSEC/frame2recon_fcclip_sam.yaml has
+    #     if_linear_probing un-indented OUT of the clip section (and
+    #     if_pretraining False), so the reference parser sees all flags
+    #     False and dispatches to the UDA (openess) trainer.
+    task = task_from_settings(s)
+    assert task == mset.task
+    if task in ("pretrain", "openess"):
+        if s.config_option == "frame2recon":
+            assert set(mset.modules) == {"model_recon", "model_frame"}
+        else:
+            assert "front_sensor_b" in mset.modules and "back_end" in mset.modules
+    elif s.config_option in ("recon2voxel", "frame2voxel"):
+        assert set(mset.modules) == {"front_sensor_b", "back_end"}
+    else:
+        assert set(mset.modules) == {"model_recon"}
+    if rel == "linear_probe/DSEC/frame2recon_fcclip_sam.yaml":
+        assert task == "openess"  # quirk (b)
+    elif "linear_probe" in rel:
+        assert task == "pretrain"  # quirk (a)
+
+
+def test_build_linear_probe_when_pretraining_disabled():
+    # DDD17 frame2recon linear-probe config has if_linear_probing correctly
+    # inside clip; flipping if_pretraining off is what a user must do to
+    # actually linear-probe (see quirks above)
+    s = load_settings(
+        os.path.join(HERE, "configs/linear_probe/DDD17/frame2recon_fcclip_sam.yaml"),
+        generate_log=False,
+    )
+    s.if_pretraining = False
+    s.img_size_b = (64, 96)
+    s.compute_dtype = "float32"
+    s.__post_init__()
+    assert task_from_settings(s) == "linear_probe"
+    mset = build_models(s, seed=0)
+    assert set(mset.modules) == {"model_recon"}
+    assert "linear_probe" in mset.params["model_recon"]

@@ -8,6 +8,7 @@ checkpoints on disk: if random weights agree to 1e-4, converted released
 weights will too.
 """
 import importlib.util
+import os
 import sys
 import types
 
@@ -17,6 +18,11 @@ import pytest
 import torch
 
 REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF),
+    reason="reference mount absent — torch-oracle parity needs /root/reference",
+)
 
 
 def _load(name, path, package_path=None):
