@@ -1,0 +1,39 @@
+"""FC-CLIP in JAX: the open-vocabulary panoptic teacher behind OpenESS's
+annotation-free pseudo-labels (reference: fc-clip/fcclip/*)."""
+from openess_tpu.models.fcclip.backbone import (
+    CLIPTextEncoder,
+    CLIPVisualProjection,
+    ConvNeXtCLIPVisual,
+)
+from openess_tpu.models.fcclip.meta import (
+    DSEC_USER_CLASSES,
+    FCCLIP,
+    VILD_PROMPT,
+    fold_template_embeddings,
+    prepare_class_names,
+)
+from openess_tpu.models.fcclip.pixel_decoder import MSDeformAttnPixelDecoder
+from openess_tpu.models.fcclip.tokenizer import SimpleTokenizer
+from openess_tpu.models.fcclip.transformer_decoder import (
+    FCCLIPTransformerDecoder,
+    get_classification_logits,
+    mask_pooling,
+)
+from openess_tpu.models.fcclip.convert import convert_fcclip_checkpoint
+
+__all__ = [
+    "CLIPTextEncoder",
+    "CLIPVisualProjection",
+    "ConvNeXtCLIPVisual",
+    "DSEC_USER_CLASSES",
+    "FCCLIP",
+    "FCCLIPTransformerDecoder",
+    "MSDeformAttnPixelDecoder",
+    "SimpleTokenizer",
+    "VILD_PROMPT",
+    "convert_fcclip_checkpoint",
+    "fold_template_embeddings",
+    "get_classification_logits",
+    "mask_pooling",
+    "prepare_class_names",
+]
