@@ -1,0 +1,588 @@
+"""FC-CLIP oracle parity: the reference's own torch modules (MaskPooling,
+get_classification_logits, PositionEmbeddingSine, the full mask2former-style
+transformer decoder and the MSDeformAttn pixel decoder) are imported from
+/root/reference/fc-clip and EXECUTED as oracles against our flax modules with
+converted weights — the same strategy as tests/test_torch_parity.py.
+
+The reference files import detectron2 / fvcore / the compiled CUDA
+MSDeformAttn extension, none of which exist here; minimal shims are installed
+in sys.modules (registry, Conv2d-with-norm, configurable passthrough). On CPU
+the reference MSDeformAttn takes its own ``ms_deform_attn_core_pytorch``
+grid_sample fallback (ms_deform_attn.py:121), so no CUDA is needed.
+
+The ConvNeXt trunk / CLIP text tower have no importable oracle (timm and
+open_clip are not installed); they are validated against inline torch
+re-derivations of the published timm/open_clip block semantics plus
+converter round-trips.
+"""
+import dataclasses
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+from torch import nn
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(f"{REF}/fc-clip"),
+    reason="reference mount absent — fcclip oracle parity needs /root/reference",
+)
+
+
+def assert_close_rel(ours, ref, tol=0.02):
+    ours = np.asarray(ours, np.float32)
+    ref = np.asarray(ref, np.float32)
+    err = np.abs(ours - ref).max() / (ref.std() + 1e-8)
+    assert err < tol, f"relative-to-scale error {err:.5f} >= {tol}"
+
+
+# ---------------------------------------------------------------------------
+# shims for the reference imports (detectron2 / fvcore / CUDA ext)
+# ---------------------------------------------------------------------------
+
+
+class _Registry:
+    def __init__(self, name):
+        self._name = name
+        self._map = {}
+
+    def register(self, obj=None):
+        if obj is None:
+            def deco(o):
+                self._map[o.__name__] = o
+                return o
+            return deco
+        self._map[obj.__name__] = obj
+        return obj
+
+    def get(self, name):
+        return self._map[name]
+
+
+class _D2Conv2d(nn.Conv2d):
+    """detectron2.layers.Conv2d: nn.Conv2d with fused norm/activation."""
+
+    def __init__(self, *args, norm=None, activation=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.norm = norm
+        self.activation = activation
+
+    def forward(self, x):
+        x = self._conv_forward(x, self.weight, self.bias)
+        if self.norm is not None:
+            x = self.norm(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+@dataclasses.dataclass
+class _ShapeSpec:
+    channels: int = 0
+    height: int = None
+    width: int = None
+    stride: int = 1
+
+
+def _get_norm(norm, out_channels):
+    if norm in ("", None):
+        return None
+    assert norm == "GN", norm
+    return nn.GroupNorm(32, out_channels)
+
+
+def _mod(name, **attrs):
+    m = sys.modules.get(name) or types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def _install_shims():
+    _mod("fvcore")
+    _mod("fvcore.nn")
+    _mod(
+        "fvcore.nn.weight_init",
+        c2_xavier_fill=lambda m: None,
+        c2_msra_fill=lambda m: None,
+    )
+
+    def configurable(init=None, *, from_config=None):
+        if init is None:
+            return lambda f: f
+        return init
+
+    _mod("detectron2")
+    _mod("detectron2.config", configurable=configurable)
+    _mod(
+        "detectron2.layers",
+        Conv2d=_D2Conv2d,
+        ShapeSpec=_ShapeSpec,
+        get_norm=_get_norm,
+    )
+    _mod("detectron2.utils")
+    _mod("detectron2.utils.registry", Registry=_Registry)
+    _mod(
+        "detectron2.utils.comm",
+        get_local_rank=lambda: 0,
+        get_rank=lambda: 0,
+        is_main_process=lambda: True,
+    )
+    _mod(
+        "detectron2.modeling",
+        SEM_SEG_HEADS_REGISTRY=_Registry("SEM_SEG_HEADS"),
+        BACKBONE_REGISTRY=_Registry("BACKBONE"),
+        TRANSFORMER_DECODER_REGISTRY=_Registry("TRANSFORMER_DECODER"),
+        Backbone=nn.Module,
+        ShapeSpec=_ShapeSpec,
+    )
+    # the compiled CUDA extension: imported at module load, only CALLED on
+    # cuda tensors (ms_deform_attn.py:117); CPU takes the pytorch fallback
+    _mod("MultiScaleDeformableAttention")
+
+
+def _pkg(name, path):
+    if name not in sys.modules:
+        m = types.ModuleType(name)
+        m.__path__ = [path]
+        sys.modules[name] = m
+
+
+def _load(name, path, is_pkg=False):
+    if name in sys.modules:
+        return sys.modules[name]
+    kw = {"submodule_search_locations": [os.path.dirname(path)]} if is_pkg else {}
+    spec = importlib.util.spec_from_file_location(name, path, **kw)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+BASE = f"{REF}/fc-clip/fcclip/modeling"
+
+
+@pytest.fixture(scope="module")
+def ref_dec():
+    """Reference fcclip_transformer_decoder module."""
+    _install_shims()
+    _pkg("refmod", BASE)
+    _pkg("refmod.transformer_decoder", f"{BASE}/transformer_decoder")
+    _load(
+        "refmod.transformer_decoder.position_encoding",
+        f"{BASE}/transformer_decoder/position_encoding.py",
+    )
+    return _load(
+        "refmod.transformer_decoder.fcclip_transformer_decoder",
+        f"{BASE}/transformer_decoder/fcclip_transformer_decoder.py",
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_pd(ref_dec):
+    """Reference msdeformattn pixel decoder module (CPU fallback path)."""
+    _pkg("refmod.pixel_decoder", f"{BASE}/pixel_decoder")
+    _pkg("refmod.pixel_decoder.ops", f"{BASE}/pixel_decoder/ops")
+    _load(
+        "refmod.pixel_decoder.ops.functions",
+        f"{BASE}/pixel_decoder/ops/functions/__init__.py",
+        is_pkg=True,
+    )
+    _load(
+        "refmod.pixel_decoder.ops.modules",
+        f"{BASE}/pixel_decoder/ops/modules/__init__.py",
+        is_pkg=True,
+    )
+    return _load(
+        "refmod.pixel_decoder.msdeformattn", f"{BASE}/pixel_decoder/msdeformattn.py"
+    )
+
+
+# ---------------------------------------------------------------------------
+# function-level oracles
+# ---------------------------------------------------------------------------
+
+
+def test_get_classification_logits_parity(ref_dec, rng):
+    from openess_tpu.models.fcclip import get_classification_logits
+
+    B, Q, C = 2, 9, 16
+    num_templates = [3, 1, 4, 2]
+    R = sum(num_templates) + 1  # + void row
+    x = rng.normal(size=(B, Q, C)).astype(np.float32)
+    tc = rng.normal(size=(R, C)).astype(np.float32)
+    scale = np.float32(np.log(1 / 0.07))
+
+    ref = ref_dec.get_classification_logits(
+        torch.from_numpy(x),
+        torch.from_numpy(tc / np.linalg.norm(tc, axis=-1, keepdims=True)),
+        torch.tensor(scale),
+        num_templates,
+    ).numpy()
+    ours = np.asarray(
+        get_classification_logits(x, tc, scale, tuple(num_templates))
+    )
+    assert ours.shape == (B, Q, len(num_templates) + 1)
+    assert_close_rel(ours, ref, 1e-4)
+
+
+def test_mask_pooling_parity(ref_dec, rng):
+    from openess_tpu.models.fcclip import mask_pooling
+
+    B, C, H, W, Q = 2, 8, 12, 16, 5
+    x = rng.normal(size=(B, C, H, W)).astype(np.float32)
+    # mask at a DIFFERENT resolution to exercise the interpolate path
+    mask = rng.normal(size=(B, Q, 6, 8)).astype(np.float32)
+
+    pool = ref_dec.MaskPooling()
+    ref = pool(torch.from_numpy(x), torch.from_numpy(mask)).numpy()
+    ours = np.asarray(mask_pooling(x.transpose(0, 2, 3, 1), mask))
+    assert_close_rel(ours, ref, 1e-4)
+
+
+def test_position_embedding_sine_parity(ref_dec):
+    from openess_tpu.models.fcclip.pixel_decoder import position_embedding_sine
+
+    pe = sys.modules["refmod.transformer_decoder.position_encoding"]
+    h, w, C = 7, 11, 32
+    layer = pe.PositionEmbeddingSine(C // 2, normalize=True)
+    ref = layer(torch.zeros(1, 3, h, w)).numpy()[0]  # [C, h, w]
+    ours = np.asarray(position_embedding_sine(h, w, C // 2))  # [h, w, C]
+    assert_close_rel(ours.transpose(2, 0, 1), ref, 1e-5)
+
+
+# ---------------------------------------------------------------------------
+# full-module oracles with converted weights
+# ---------------------------------------------------------------------------
+
+
+def test_transformer_decoder_parity(ref_dec, rng):
+    import jax.numpy as jnp
+
+    from openess_tpu.models.fcclip import FCCLIPTransformerDecoder
+    from openess_tpu.models.fcclip.convert import convert_transformer_decoder
+
+    # mask_dim must equal hidden_dim: the reference's _mask_pooling_proj
+    # LayerNorm(hidden_dim) is applied to mask-pooled mask_dim features
+    C, NQ, NH, FF, DL, MD, CE = 64, 7, 4, 96, 3, 64, 32
+    num_templates = [2, 1, 3]
+    K = len(num_templates)
+    R = sum(num_templates) + 1
+
+    tdec = ref_dec.MultiScaleMaskedTransformerDecoder(
+        in_channels=C, mask_classification=True, num_classes=K, hidden_dim=C,
+        num_queries=NQ, nheads=NH, dim_feedforward=FF, dec_layers=DL,
+        pre_norm=False, mask_dim=MD, enforce_input_project=False,
+        clip_embedding_dim=CE,
+    ).eval()
+
+    B = 2
+    sizes = [(4, 5), (8, 10), (16, 20)]  # os32, os16, os8
+    feats = [rng.normal(size=(B, C, h, w)).astype(np.float32) for h, w in sizes]
+    mask_features = rng.normal(size=(B, MD, 32, 40)).astype(np.float32)
+    tc = rng.normal(size=(R, CE)).astype(np.float32)
+    tc /= np.linalg.norm(tc, axis=-1, keepdims=True)
+
+    with torch.no_grad():
+        ref = tdec(
+            [torch.from_numpy(f) for f in feats],
+            torch.from_numpy(mask_features),
+            mask=None,
+            text_classifier=torch.from_numpy(tc),
+            num_templates=num_templates,
+        )
+
+    params = convert_transformer_decoder(tdec.state_dict(), prefix="", dec_layers=DL)
+    ours_mod = FCCLIPTransformerDecoder(
+        hidden_dim=C, num_queries=NQ, n_heads=NH, dim_feedforward=FF,
+        dec_layers=DL, mask_dim=MD, clip_embedding_dim=CE,
+    )
+    out = ours_mod.apply(
+        {"params": params},
+        [jnp.asarray(f.transpose(0, 2, 3, 1)) for f in feats],
+        jnp.asarray(mask_features.transpose(0, 2, 3, 1)),
+        jnp.asarray(tc),
+        tuple(num_templates),
+    )
+    assert out["pred_logits"].shape == (B, NQ, K + 1)
+    assert out["pred_masks"].shape == (B, NQ, 32, 40)
+    assert_close_rel(out["pred_logits"], ref["pred_logits"].numpy(), 5e-3)
+    assert_close_rel(out["pred_masks"], ref["pred_masks"].numpy(), 5e-3)
+
+
+def test_pixel_decoder_parity(ref_pd, rng):
+    import jax.numpy as jnp
+
+    from openess_tpu.models.fcclip import MSDeformAttnPixelDecoder
+    from openess_tpu.models.fcclip.convert import convert_pixel_decoder
+
+    chans = (8, 12, 16, 24)
+    CD, MD, NH, FF, EL = 32, 16, 4, 48, 2
+    shape_spec = {
+        f"res{i + 2}": ref_pd.ShapeSpec(channels=c, stride=4 * 2**i)
+        for i, c in enumerate(chans)
+    }
+    tpd = ref_pd.MSDeformAttnPixelDecoder(
+        input_shape=shape_spec,
+        transformer_dropout=0.0, transformer_nheads=NH,
+        transformer_dim_feedforward=FF, transformer_enc_layers=EL,
+        conv_dim=CD, mask_dim=MD, norm="GN",
+        transformer_in_features=["res3", "res4", "res5"], common_stride=4,
+    ).eval()
+
+    B, H = 2, 64
+    feats = {
+        f"res{i + 2}": rng.normal(
+            size=(B, c, H // (4 * 2**i), H // (4 * 2**i))
+        ).astype(np.float32)
+        for i, c in enumerate(chans)
+    }
+    with torch.no_grad():
+        ref_mask, _, ref_ms = tpd.forward_features(
+            {k: torch.from_numpy(v) for k, v in feats.items()}
+        )
+
+    params = convert_pixel_decoder(tpd.state_dict(), prefix="", enc_layers=EL)
+    ours_mod = MSDeformAttnPixelDecoder(
+        in_channels=chans, conv_dim=CD, mask_dim=MD, n_heads=NH,
+        dim_feedforward=FF, enc_layers=EL,
+    )
+    mask_features, ms = ours_mod.apply(
+        {"params": params},
+        {k: jnp.asarray(v.transpose(0, 2, 3, 1)) for k, v in feats.items()},
+    )
+    assert len(ms) == 3
+    for o, r in zip(ms, ref_ms):
+        assert_close_rel(np.asarray(o).transpose(0, 3, 1, 2), r.numpy(), 5e-3)
+    assert_close_rel(
+        np.asarray(mask_features).transpose(0, 3, 1, 2), ref_mask.numpy(), 5e-3
+    )
+
+
+# ---------------------------------------------------------------------------
+# trunk / text tower: inline torch re-derivations of the published
+# timm-ConvNeXt and open_clip text-transformer block semantics
+# ---------------------------------------------------------------------------
+
+
+class _TorchConvNeXtBlock(nn.Module):
+    """timm ConvNeXt block (conv_dw -> LN -> fc1 -> GELU -> fc2 -> gamma)."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.conv_dw = nn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Sequential()
+        self.mlp.fc1 = nn.Linear(dim, 4 * dim)
+        self.mlp.fc2 = nn.Linear(4 * dim, dim)
+        self.gamma = nn.Parameter(torch.full((dim,), 1e-6))
+
+    def forward(self, x):
+        s = x
+        x = self.conv_dw(x)
+        x = x.permute(0, 2, 3, 1)
+        x = self.norm(x)
+        x = self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(x)))
+        return s + (x * self.gamma).permute(0, 3, 1, 2)
+
+
+def test_convnext_block_parity(rng):
+    import jax.numpy as jnp
+
+    from openess_tpu.models.fcclip.backbone import ConvNeXtBlock
+    from openess_tpu.models.fcclip.convert import (
+        _np, dense, dw_conv_kernel, norm,
+    )
+
+    dim = 16
+    tb = _TorchConvNeXtBlock(dim).eval()
+    with torch.no_grad():
+        tb.gamma.copy_(torch.from_numpy(rng.normal(size=(dim,)).astype(np.float32)))
+    x = rng.normal(size=(2, dim, 10, 14)).astype(np.float32)
+    with torch.no_grad():
+        ref = tb(torch.from_numpy(x)).numpy()
+
+    sd = tb.state_dict()
+    params = {
+        "conv_dw": {
+            "kernel": dw_conv_kernel(sd["conv_dw.weight"]),
+            "bias": _np(sd["conv_dw.bias"]),
+        },
+        "norm": norm(sd["norm.weight"], sd["norm.bias"]),
+        "mlp_fc1": dense(sd["mlp.fc1.weight"], sd["mlp.fc1.bias"]),
+        "mlp_fc2": dense(sd["mlp.fc2.weight"], sd["mlp.fc2.bias"]),
+        "gamma": _np(sd["gamma"]),
+    }
+    ours = ConvNeXtBlock(dim).apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    assert_close_rel(np.asarray(ours).transpose(0, 3, 1, 2), ref, 1e-3)
+
+
+class _TorchCLIPTextTower(nn.Module):
+    """open_clip text transformer (pre-LN resblocks with causal mask,
+    argmax-eot pooling, linear projection)."""
+
+    def __init__(self, vocab, ctx, width, heads, layers, embed_dim):
+        super().__init__()
+        self.token_embedding = nn.Embedding(vocab, width)
+        self.positional_embedding = nn.Parameter(torch.randn(ctx, width) * 0.01)
+        self.ln_final = nn.LayerNorm(width)
+        self.text_projection = nn.Parameter(torch.randn(width, embed_dim) * 0.02)
+        self.transformer = nn.Module()
+        self.transformer.resblocks = nn.ModuleList()
+        for _ in range(layers):
+            blk = nn.Module()
+            blk.ln_1 = nn.LayerNorm(width)
+            blk.attn = nn.MultiheadAttention(width, heads, batch_first=True)
+            blk.ln_2 = nn.LayerNorm(width)
+            blk.mlp = nn.Module()
+            blk.mlp.c_fc = nn.Linear(width, 4 * width)
+            blk.mlp.c_proj = nn.Linear(4 * width, width)
+            self.transformer.resblocks.append(blk)
+        L = ctx
+        mask = torch.full((L, L), float("-inf")).triu(1)
+        self.register_buffer("attn_mask", mask, persistent=False)
+
+    def forward(self, tokens):
+        x = self.token_embedding(tokens) + self.positional_embedding
+        for blk in self.transformer.resblocks:
+            y = blk.ln_1(x)
+            y, _ = blk.attn(y, y, y, need_weights=False, attn_mask=self.attn_mask)
+            x = x + y
+            y = blk.ln_2(x)
+            x = x + blk.mlp.c_proj(torch.nn.functional.gelu(blk.mlp.c_fc(y)))
+        x = self.ln_final(x)
+        eot = tokens.argmax(dim=-1)
+        x = x[torch.arange(x.shape[0]), eot]
+        return x @ self.text_projection
+
+
+def test_text_encoder_parity(rng):
+    import jax.numpy as jnp
+
+    from openess_tpu.models.fcclip import CLIPTextEncoder
+    from openess_tpu.models.fcclip.convert import convert_text_encoder
+
+    vocab, ctx, width, heads, layers, ed = 50, 12, 32, 4, 2, 24
+    tt = _TorchCLIPTextTower(vocab, ctx, width, heads, layers, ed).eval()
+    tokens = np.zeros((3, ctx), np.int64)
+    for b in range(3):
+        n = 4 + b
+        tokens[b, 0] = 1
+        tokens[b, 1 : 1 + n] = rng.integers(2, vocab - 1, n)
+        tokens[b, 1 + n] = vocab - 1  # eot = highest id
+    with torch.no_grad():
+        ref = tt(torch.from_numpy(tokens)).numpy()
+
+    sd = {"backbone.clip_model." + k: v for k, v in tt.state_dict().items()}
+    params = convert_text_encoder(sd, layers=layers)
+    ours = CLIPTextEncoder(
+        vocab_size=vocab, context_length=ctx, width=width, heads=heads,
+        layers=layers, embed_dim=ed,
+    ).apply({"params": params}, jnp.asarray(tokens.astype(np.int32)))
+    assert_close_rel(np.asarray(ours), ref, 1e-3)
+
+
+# ---------------------------------------------------------------------------
+# meta-arch: end-to-end smoke + prompt plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_prepare_class_names_and_fold():
+    from openess_tpu.models.fcclip import (
+        VILD_PROMPT, fold_template_embeddings, prepare_class_names,
+    )
+
+    overlap, num_templates, prompts = prepare_class_names(
+        ["car,jeep", "sky", "zzznotaclass"]
+    )
+    assert list(num_templates) == [2, 1, 1]
+    assert overlap.tolist() == [1, 0, 0]  # car is a COCO class; zzz is not
+    assert len(prompts) == 4 * len(VILD_PROMPT)
+    assert prompts[0] == "a photo of a car."
+
+    e = np.random.default_rng(0).normal(size=(len(prompts), 8)).astype(np.float32)
+    folded = np.asarray(fold_template_embeddings(e))
+    assert folded.shape == (4, 8)
+    np.testing.assert_allclose(np.linalg.norm(folded, axis=-1), 1.0, rtol=1e-5)
+
+
+def test_pl_tool_maxpool_and_png_contract(tmp_path, monkeypatch, rng):
+    """The PL driver's vocab->DSEC max-pool remap and on-disk PNG contract
+    (generate_pl_dsec.py:104-127), teacher stubbed out."""
+    import importlib
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    gpl = importlib.import_module("generate_pseudo_labels")
+
+    # max-pool semantics vs a numpy re-derivation
+    scores = rng.normal(size=(1, 4, 6, 36)).astype(np.float32)
+    got = np.asarray(gpl._maxpool_argmax(scores, gpl.USER_TO_DSEC, 11))
+    pooled = np.full((1, 4, 6, 11), -np.inf, np.float32)
+    for u in range(36):
+        c = gpl.USER_TO_DSEC[u]
+        pooled[..., c] = np.maximum(pooled[..., c], scores[..., u])
+    np.testing.assert_array_equal(got, pooled.argmax(-1).astype(np.uint8))
+    assert len(gpl.USER_TO_DSEC) == 36 and gpl.USER_TO_DSEC.max() == 10
+
+    # end-to-end file contract on a replica tree with a stub teacher
+    from PIL import Image
+
+    seq = tmp_path / "zurich_city_00_a" / "zurich_city_00_a"
+    img_dir = seq / "images_aligned" / "left"
+    img_dir.mkdir(parents=True)
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (8, 12, 3)).astype(np.uint8)
+        ).save(img_dir / f"{i:06d}.png")
+
+    def stub_build(args):
+        def infer(img):
+            return np.zeros(img.shape[:3], np.uint8) + 7
+        return infer
+
+    monkeypatch.setattr(gpl, "build_fcclip_infer", stub_build)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["gpl", "--root", str(tmp_path), "--teacher", "fcclip",
+         "--fcclip_ckpt", "x", "--bpe_vocab", "y"],
+    )
+    gpl.main()
+    outs = sorted((seq / "pl_fcclip_rgb" / "left").glob("*.png"))
+    assert len(outs) == 2
+    pl = np.asarray(Image.open(outs[0]))
+    assert pl.shape == (8, 12) and (pl == 7).all()
+
+
+def test_fcclip_meta_smoke(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from openess_tpu.models.fcclip import FCCLIP
+
+    model = FCCLIP()
+    # tiny trunk via module attribute override is not possible on the frozen
+    # dataclass; run the real trunk at minimum size instead (64x64 -> os32=2)
+    img = jnp.asarray(rng.uniform(0, 255, (1, 64, 64, 3)), jnp.float32)
+    num_templates = (1, 1, 2)
+    tc = rng.normal(size=(sum(num_templates), 768)).astype(np.float32)
+    tc /= np.linalg.norm(tc, axis=-1, keepdims=True)
+    overlap = jnp.asarray([1, 0, 1], jnp.int32)
+
+    params = model.init(
+        jax.random.key(0), img, jnp.asarray(tc), num_templates, overlap
+    )
+    sem = model.apply(params, img, jnp.asarray(tc), num_templates, overlap)
+    assert sem.shape == (1, 64, 64, len(num_templates))
+    s = np.asarray(sem)
+    assert np.isfinite(s).all()
+    # semantic_inference sums softmax-weighted sigmoid masks over all queries
+    # (fcclip.py:463-467): non-negative, bounded by the query count
+    assert (s >= 0).all() and (s.sum(-1) <= 250.0).all()

@@ -5,14 +5,18 @@ Reference: ``fc-clip/demo/generate_pl_dsec.py`` runs FC-CLIP panoptic
 inference over a 36-class extended vocabulary and max-pools logits down to
 the 11 DSEC classes (:104-127), writing argmax PNGs to ``pl_fcclip_rgb/``.
 
-This driver reproduces that contract with the jit-compiled MaskCLIP dense
-teacher (our minimum-viable CLIP labeler; FC-CLIP itself is an offline
-teacher, so any dense open-vocab model satisfying the PNG contract slots in).
+Two teachers satisfy the PNG/remap contract:
+
+- ``--teacher fcclip`` (the reference's flagship): the JAX FC-CLIP
+  meta-arch (``openess_tpu.models.fcclip``) with converted released weights
+  (``--fcclip_ckpt fcclip_cocopan.pth``) and the VILD prompt ensemble built
+  in-process from the checkpoint's own CLIP text tower (needs the CLIP BPE
+  merges file, ``--bpe_vocab bpe_simple_vocab_16e6.txt.gz``).
+- ``--teacher maskclip``: the dense MaskCLIP labeler (minimum-viable CLIP
+  teacher; ~17 mIoU below FC-CLIP per the reference README:376-377).
+
 The extended-vocabulary -> DSEC remap below mirrors the reference's
 ``user_to_dsec`` table group sizes: [1, 2, 1, 5, 3, 1, 1, 5, 13, 1, 3].
-
-Requires converted CLIP weights (--clip_ckpt, --visual_projs) and text
-embeddings for the extended vocabulary (--text_embeddings, [V, 512]).
 """
 import os
 import sys
@@ -22,7 +26,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
 import glob
-import os
 
 import numpy as np
 from PIL import Image
@@ -43,20 +46,7 @@ USER_TO_DSEC = np.array(
 )
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--root", required=True)
-    ap.add_argument("--dataset", choices=["dsec", "ddd17"], default="dsec")
-    ap.add_argument("--clip_ckpt", required=True)
-    ap.add_argument("--visual_projs", required=True)
-    ap.add_argument("--text_embeddings", required=True,
-                    help="extended-vocabulary CLIP text embeddings .pth/.npy")
-    ap.add_argument("--num_classes", type=int, default=11)
-    ap.add_argument("--out_name", default="pl_fcclip_rgb")
-    ap.add_argument("--shard", type=int, default=0)
-    ap.add_argument("--num_shards", type=int, default=1)
-    args = ap.parse_args()
-
+def build_maskclip_infer(args):
     import jax
     import jax.numpy as jnp
     import torch
@@ -73,24 +63,105 @@ def main():
 
     backbone = torch.load(args.clip_ckpt, map_location="cpu")
     projs = torch.load(args.visual_projs, map_location="cpu")
-    params = convert_maskclip(
-        backbone.get("state_dict", backbone), projs
-    )
+    params = convert_maskclip(backbone.get("state_dict", backbone), projs)
     model = MaskClipFeatureExtractor(num_classes=vocab, dtype=jnp.bfloat16)
 
     @jax.jit
     def infer(img):
+        # img [1, H, W, 3] in [0, 1]
         logits = model.apply({"params": params}, img, jnp.asarray(text))
-        # max-pool extended-vocab logits into dataset classes
-        out = jnp.full(
-            logits.shape[:-1] + (args.num_classes,), -jnp.inf, logits.dtype
-        )
-        for user_idx in range(vocab):
-            c = int(remap[user_idx])
-            out = out.at[..., c].set(
-                jnp.maximum(out[..., c], logits[..., user_idx])
+        return _maxpool_argmax(logits, remap, args.num_classes)
+
+    return infer
+
+
+def _maxpool_argmax(scores, remap, num_classes):
+    """Max-pool extended-vocab scores into dataset classes, then argmax."""
+    import jax.numpy as jnp
+
+    out = jnp.full(scores.shape[:-1] + (num_classes,), -jnp.inf, scores.dtype)
+    for user_idx in range(scores.shape[-1]):
+        c = int(remap[user_idx])
+        out = out.at[..., c].set(jnp.maximum(out[..., c], scores[..., user_idx]))
+    return jnp.argmax(out, axis=-1).astype(jnp.uint8)
+
+
+def build_fcclip_infer(args):
+    import jax
+    import jax.numpy as jnp
+
+    from openess_tpu.models.fcclip import (
+        DSEC_USER_CLASSES,
+        FCCLIP,
+        CLIPTextEncoder,
+        SimpleTokenizer,
+        convert_fcclip_checkpoint,
+        fold_template_embeddings,
+        prepare_class_names,
+    )
+
+    params, text_params = convert_fcclip_checkpoint(args.fcclip_ckpt)
+    overlap, num_templates, prompts = prepare_class_names(DSEC_USER_CLASSES)
+    remap = USER_TO_DSEC[: len(num_templates)]
+
+    tok = SimpleTokenizer(args.bpe_vocab)
+    tokens = np.stack([tok(p) for p in prompts]).astype(np.int32)
+    encoder = CLIPTextEncoder(dtype=jnp.bfloat16)
+    embed = jax.jit(
+        lambda t: encoder.apply({"params": text_params}, t)
+    )
+    chunks = [
+        np.asarray(embed(jnp.asarray(tokens[i : i + 256])))
+        for i in range(0, len(tokens), 256)
+    ]
+    tc = np.asarray(fold_template_embeddings(np.concatenate(chunks, 0)))
+
+    model = FCCLIP(dtype=jnp.bfloat16)
+    nt = tuple(num_templates)
+    ov = jnp.asarray(overlap)
+
+    @jax.jit
+    def infer(img):
+        # img [1, H, W, 3] in [0, 1]; FCCLIP expects [0, 255]
+        h, w = img.shape[1], img.shape[2]
+        ph, pw = (-h) % 32, (-w) % 32
+        x = jnp.pad(img * 255.0, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        sem = model.apply({"params": params}, x, jnp.asarray(tc), nt, ov)
+        return _maxpool_argmax(sem[:, :h, :w], remap, args.num_classes)
+
+    return infer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--dataset", choices=["dsec", "ddd17"], default="dsec")
+    ap.add_argument("--teacher", choices=["fcclip", "maskclip"], default="fcclip")
+    # fcclip teacher
+    ap.add_argument("--fcclip_ckpt", help="released fcclip_cocopan.pth")
+    ap.add_argument("--bpe_vocab", help="CLIP bpe_simple_vocab_16e6.txt.gz")
+    # maskclip teacher
+    ap.add_argument("--clip_ckpt")
+    ap.add_argument("--visual_projs")
+    ap.add_argument("--text_embeddings",
+                    help="extended-vocabulary CLIP text embeddings .pth/.npy")
+    ap.add_argument("--num_classes", type=int, default=11)
+    ap.add_argument("--out_name", default="pl_fcclip_rgb")
+    ap.add_argument("--shard", type=int, default=0)
+    ap.add_argument("--num_shards", type=int, default=1)
+    args = ap.parse_args()
+
+    if args.teacher == "fcclip":
+        if not (args.fcclip_ckpt and args.bpe_vocab):
+            raise SystemExit("--teacher fcclip needs --fcclip_ckpt and --bpe_vocab")
+        infer = build_fcclip_infer(args)
+    else:
+        if not (args.clip_ckpt and args.visual_projs and args.text_embeddings):
+            raise SystemExit(
+                "--teacher maskclip needs --clip_ckpt/--visual_projs/"
+                "--text_embeddings"
             )
-        return jnp.argmax(out, axis=-1).astype(jnp.uint8)
+        infer = build_maskclip_infer(args)
 
     if args.dataset == "dsec":
         paths = sorted(glob.glob(
