@@ -152,15 +152,20 @@ void voxelize_trilinear_mt(
 // window w holding counts[w] valid events at offset w*K in the flat x/y/p/t
 // arrays. Windows are distributed dynamically across n_threads; each thread
 // reuses one private CHW scratch grid. Per window: trilinear scatter,
-// optional nonzero normalization (norm_mode as above), bottom-crop, and an
-// HWC transpose straight into out[w] = [(H-crop_bottom), W, C]. This batches
-// the whole input-pipeline hot loop (dsec.py get_batch) into ONE native call
-// whose parallel axis is the B*T window grid.
+// optional nonzero normalization (norm_mode as above), bottom-crop, and the
+// requested output layout. This batches the whole input-pipeline hot loop
+// (dsec.py get_batch) into ONE native call whose parallel axis is the B*T
+// window grid.
+//
+// layout 0: out[w] = [(H-crop_bottom), W, C] (HWC, strided transpose).
+// layout 1: out[w] = [C, (H-crop_bottom), W] (planar CHW, pure memcpy) —
+//   the TPU wire format: the device entry buffer keeps (H, W) as the tiled
+//   minor dims so XLA pads nothing (vs 25x pad of a C=5 minor dim).
 void voxelize_trilinear_windows(
     const float* x, const float* y, const float* p, const float* t,
     const int64_t* counts, int64_t n_win, int64_t K,
     int C, int H, int W, int crop_bottom, int norm_mode,
-    float* out, int n_threads) {
+    float* out, int n_threads, int layout) {
   const int Ho = H - crop_bottom;
   const int64_t cells = (int64_t)C * H * W;
   const int64_t out_cells = (int64_t)Ho * W * C;
@@ -185,12 +190,19 @@ void voxelize_trilinear_windows(
       voxelize_trilinear(x + w * K, y + w * K, p + w * K, t + w * K,
                          n, C, H, W, g);
       normalize_nonzero_mode(g, cells, norm_mode);
-      for (int c = 0; c < C; ++c) {
-        const float* gc = g + (int64_t)c * HW;
-        for (int h = 0; h < Ho; ++h) {
-          const float* row = gc + (int64_t)h * W;
-          float* orow = o + ((int64_t)h * W) * C + c;
-          for (int wv = 0; wv < W; ++wv) orow[(int64_t)wv * C] = row[wv];
+      if (layout == 1) {
+        for (int c = 0; c < C; ++c) {
+          std::memcpy(o + (int64_t)c * Ho * W, g + (int64_t)c * HW,
+                      (size_t)Ho * W * sizeof(float));
+        }
+      } else {
+        for (int c = 0; c < C; ++c) {
+          const float* gc = g + (int64_t)c * HW;
+          for (int h = 0; h < Ho; ++h) {
+            const float* row = gc + (int64_t)h * W;
+            float* orow = o + ((int64_t)h * W) * C + c;
+            for (int wv = 0; wv < W; ++wv) orow[(int64_t)wv * C] = row[wv];
+          }
         }
       }
     }
@@ -203,12 +215,13 @@ void voxelize_trilinear_windows(
 
 // Batched windowed DDD17 voxelization (bilinear in t, per-polarity), same
 // window layout as voxelize_trilinear_windows. out[w] = [H, W, Cout] with
-// Cout = 2*C (separate_pol: pos bins then neg bins) or C (pos - neg).
+// Cout = 2*C (separate_pol: pos bins then neg bins) or C (pos - neg);
+// layout 1 emits planar [Cout, H, W] instead (TPU wire format, memcpy).
 void voxelize_bilinear_t_windows(
     const float* x, const float* y, const float* p, const float* t,
     const int64_t* counts, int64_t n_win, int64_t K,
     int C, int H, int W, int separate_pol, int norm_mode,
-    float* out, int n_threads) {
+    float* out, int n_threads, int layout) {
   const int Cout = separate_pol ? 2 * C : C;
   const int64_t HW = (int64_t)H * W;
   const int64_t cells = (int64_t)C * HW;
@@ -280,20 +293,29 @@ void voxelize_bilinear_t_windows(
             }
           }
         }
-        for (int c = 0; c < C; ++c) {
-          const float* gp = pos.data() + (int64_t)c * HW;
-          const float* gn = neg.data() + (int64_t)c * HW;
-          for (int64_t hw = 0; hw < HW; ++hw) {
-            o[hw * Cout + c] = gp[hw];
-            o[hw * Cout + C + c] = gn[hw];
+        if (layout == 1) {
+          std::memcpy(o, pos.data(), (size_t)cells * sizeof(float));
+          std::memcpy(o + cells, neg.data(), (size_t)cells * sizeof(float));
+        } else {
+          for (int c = 0; c < C; ++c) {
+            const float* gp = pos.data() + (int64_t)c * HW;
+            const float* gn = neg.data() + (int64_t)c * HW;
+            for (int64_t hw = 0; hw < HW; ++hw) {
+              o[hw * Cout + c] = gp[hw];
+              o[hw * Cout + C + c] = gn[hw];
+            }
           }
         }
       } else {
         for (int64_t i = 0; i < cells; ++i) merged[i] = pos[i] - neg[i];
         normalize_nonzero_mode(merged.data(), cells, norm_mode);
-        for (int c = 0; c < C; ++c) {
-          const float* gm = merged.data() + (int64_t)c * HW;
-          for (int64_t hw = 0; hw < HW; ++hw) o[hw * Cout + c] = gm[hw];
+        if (layout == 1) {
+          std::memcpy(o, merged.data(), (size_t)cells * sizeof(float));
+        } else {
+          for (int c = 0; c < C; ++c) {
+            const float* gm = merged.data() + (int64_t)c * HW;
+            for (int64_t hw = 0; hw < HW; ++hw) o[hw * Cout + c] = gm[hw];
+          }
         }
       }
     }

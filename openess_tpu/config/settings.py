@@ -29,6 +29,12 @@ class Settings:
     compute_dtype: str = "bfloat16"
     mesh_data: int = -1  # -1: all devices on the data axis
     mesh_model: int = 1
+    # 'channel': TP-shard wide kernels; 'spatial': height-shard activations
+    tp_mode: str = "channel"
+    # frame-teacher trunk output stride: 4 = reference-exact fully-dilated
+    # R50; 8/16 = faster coarse trunks (features are upsampled + superpixel
+    # mean-pooled either way)
+    teacher_os: int = 4
     host_voxelize: bool = True  # native C++ host voxelizer in the data plane
     # --- model ---
     model_name: str = "open_ess"
@@ -154,6 +160,8 @@ def load_settings(settings_yaml: str, generate_log: bool = False) -> Settings:
     s.compute_dtype = _get(y, "tpu", "compute_dtype", default="bfloat16")
     s.mesh_data = _get(y, "tpu", "mesh_data", default=-1)
     s.mesh_model = _get(y, "tpu", "mesh_model", default=1)
+    s.tp_mode = _get(y, "tpu", "tp_mode", default="channel")
+    s.teacher_os = int(_get(y, "tpu", "teacher_os", default=4))
     # model
     for k in (
         "model_name", "skip_connect_encoder", "skip_connect_task",

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 IMAGE_KEYS = ("recon", "frame")
 # spatial tensors: (key, W-axis index within a single sample)
 _FLIP_AXES = {
-    "event": 2,       # [T, H, W, bins]
+    "event": 3,       # [T, bins, H, W] planar wire format
     "recon": 1,       # [H, W, 3]
     "frame": 1,
     "label": 1,       # [H, W]

@@ -249,7 +249,7 @@ class DDD17Dataset:
             if key in samples[0]:
                 batch[key] = np.stack([sm[key] for sm in samples])
         if needs_events:
-            if s.host_voxelize:
+            if s.host_voxelize or s.event_representation_b == "histogram":
                 batch["event"] = self._host_voxelize(ev)
             else:
                 stacked = [np.stack([e[i] for e in ev]) for i in range(5)]
@@ -257,18 +257,22 @@ class DDD17Dataset:
                     s.nr_events_data_b, s.nr_temporal_bins_b,
                     s.separate_pol_b, s.normalize_event_b,
                 )
-                batch["event"] = np.asarray(vox(*stacked))
+                batch["event"] = np.moveaxis(np.asarray(vox(*stacked)), -1, 2)
         return batch
 
     def _host_voxelize(self, ev):
-        """Native batched host voxelization (one call, parallel across the
-        B*T windows) + torch-exact bilinear resize + crop."""
-        from openess_tpu.native import voxelize_bilinear_t_windows_host
+        """Native batched host representation (one call, parallel across the
+        B*T windows) + torch-exact bilinear resize + crop. Dispatches on
+        ``event_representation`` (data_util.py:17-35): voxel_grid (default)
+        or the 2-channel count histogram."""
+        from openess_tpu.native import (
+            event_histogram_windows_host,
+            voxelize_bilinear_t_windows_host,
+        )
         from openess_tpu.ops.resize import resize_bilinear
 
         s = self.s
         T, bins = s.nr_events_data_b, s.nr_temporal_bins_b
-        C = bins * (2 if s.separate_pol_b else 1)
         B = len(ev)
         K = ev[0][0].shape[1]
         x = np.stack([e[0] for e in ev]).reshape(B * T, K)
@@ -281,13 +285,22 @@ class DDD17Dataset:
             .sum(axis=1)
             .astype(np.int64)
         )
-        grids = voxelize_bilinear_t_windows_host(
-            x, y, p, t, counts, bins, HEIGHT, WIDTH,
-            separate_pol=s.separate_pol_b,
-            norm_mode=2 if s.normalize_event_b else 0,
-            n_threads=s.num_cpu_workers,
-        ).reshape(B, T, HEIGHT, WIDTH, C)
+        if s.event_representation_b == "histogram":
+            C = 2
+            grids = event_histogram_windows_host(
+                x, y, p, counts, HEIGHT, WIDTH,
+                norm_mode=2 if s.normalize_event_b else 0,
+            ).transpose(0, 2, 3, 1).reshape(B, T, HEIGHT, WIDTH, C)
+        else:
+            C = bins * (2 if s.separate_pol_b else 1)
+            grids = voxelize_bilinear_t_windows_host(
+                x, y, p, t, counts, bins, HEIGHT, WIDTH,
+                separate_pol=s.separate_pol_b,
+                norm_mode=2 if s.normalize_event_b else 0,
+                n_threads=s.num_cpu_workers,
+            ).reshape(B, T, HEIGHT, WIDTH, C)
         out = np.asarray(
             resize_bilinear(grids, out_h=HEIGHT, out_w=RESIZE_W, align_corners=True)
         )
-        return out[:, :, : HEIGHT - CROP_BOTTOM]
+        # planar [B, T, C, H, W] wire format (see dsec.py module docstring)
+        return np.moveaxis(out[:, :, : HEIGHT - CROP_BOTTOM], -1, 2)

@@ -6,7 +6,10 @@ through the fused windowed kernel (ops/voxelize.py) instead of the
 reference's per-sample 8-thread joblib fan-out (sequence_ov.py:304-305).
 
 Sample contract (per ``get_batch``) matches ``training/steps.py``:
-  event [B,T,H,W,bins] / frame / recon [B,H,W,3] / label / pl / superpixel
+  event [B,T,bins,H,W] (planar TPU wire format; the jitted step moves
+  bins to the NHWC channel position on device — a bins-minor host layout
+  would force XLA to pad 5 -> 128 lanes on the entry buffer)
+  / frame / recon [B,H,W,3] / label / pl / superpixel
   [B,H,W] int32 / sam_feat [B,64,64,256].
 """
 from __future__ import annotations
@@ -252,10 +255,33 @@ class DSECDataset:
             T, K = s.nr_events_data_b, s.nr_events_window_b
             H, W = DSECSequence.HEIGHT, DSECSequence.WIDTH
             bins = s.nr_temporal_bins_b
-            if s.host_voxelize:
+            if s.event_representation_b == "histogram":
+                # 2-channel count histogram (data_util.py:17-35), same
+                # window/crop contract as the voxel path
+                from openess_tpu.native import event_histogram_windows_host
+
+                B = len(ev)
+                x = np.stack([e[0] for e in ev]).reshape(B * T, K)
+                y = np.stack([e[1] for e in ev]).reshape(B * T, K)
+                pp = np.stack([e[2] for e in ev]).reshape(B * T, K)
+                counts = (
+                    np.stack([e[4] for e in ev])
+                    .reshape(B * T, K)
+                    .sum(axis=1)
+                    .astype(np.int64)
+                )
+                grids = event_histogram_windows_host(
+                    x, y, pp, counts, H, W,
+                    norm_mode=1 if s.normalize_event_b else 0,
+                )
+                batch["event"] = (
+                    grids[:, :, : H - 40].reshape(B, T, 2, H - 40, W)
+                )
+            elif s.host_voxelize:
                 # one native call voxelizes all B*T windows, parallel across
                 # windows (num_cpu_workers threads), with the nonzero
-                # normalization + 40-row crop + HWC transpose fused in
+                # normalization + 40-row crop fused in; planar CHW output
+                # is the TPU wire format AND skips the host transpose
                 from openess_tpu.native import voxelize_trilinear_windows_host
 
                 B = len(ev)
@@ -274,8 +300,9 @@ class DSECDataset:
                     crop_bottom=40,
                     norm_mode=1 if s.normalize_event_b else 0,
                     n_threads=s.num_cpu_workers,
+                    layout="chw",
                 )
-                batch["event"] = grids.reshape(B, T, H - 40, W, bins)
+                batch["event"] = grids.reshape(B, T, bins, H - 40, W)
             else:
                 stacked = [
                     np.stack([e[i] for e in ev]).reshape(len(ev), T * K)
@@ -284,5 +311,6 @@ class DSECDataset:
                 vox = _device_voxelizer(
                     T, bins, H, W, s.normalize_event_b, crop_bottom=40,
                 )
-                batch["event"] = np.asarray(vox(*stacked))
+                nhwc = np.asarray(vox(*stacked))
+                batch["event"] = np.moveaxis(nhwc, -1, 2)
         return batch

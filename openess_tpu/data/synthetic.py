@@ -106,7 +106,7 @@ class SyntheticESS:
                 )
             )  # [T*bins, H, W]
             grid = grid.reshape(self.num_windows, num_bins, self.height, self.width)
-            out["event"].append(grid.transpose(0, 2, 3, 1))  # [T, H, W, bins]
+            out["event"].append(grid)  # [T, bins, H, W] planar wire format
             for k in ("frame", "recon", "label", "pl", "superpixel", "sam_feat"):
                 out[k].append(s[k])
         return {k: np.stack(v) for k, v in out.items()}

@@ -228,9 +228,21 @@ class _RecurrentStep(nn.Module):
     num_bins: int
     normalize: bool
     dtype: Any
+    planar: bool = False
 
     @nn.compact
     def __call__(self, carry, win):
+        if self.planar:
+            # scan feeds [B, bins*H, W] (bins merged into H — see
+            # E2VIDReconstructor: a full-size tensor with a 5-wide dim would
+            # let XLA's layout assignment materialize it bins-minor, padding
+            # 5 -> 128 lanes: a 23 GB copy at B8 DSEC scale). Split bins back
+            # out and move to the NHWC channel position PER STEP, so the
+            # only bins-minor buffer is single-window sized.
+            bch, w = win.shape[1], win.shape[2]
+            win = jax.lax.optimization_barrier(win)
+            win = win.reshape(win.shape[0], self.num_bins, bch // self.num_bins, w)
+            win = jnp.moveaxis(win, 1, -1)
         if self.normalize:
             win = normalize_event_window(win)
         img, states, latent = UNetRecurrent(
@@ -243,10 +255,12 @@ class E2VIDReconstructor(nn.Module):
     """`lax.scan`-compiled replacement for ``ImageReconstructor`` + the
     trainers' 20-iteration window loop.
 
-    ``__call__(windows)`` takes ``[B, T, H, W, bins]`` voxel windows, applies
-    per-window nonzero normalization, scans the UNet over T carrying LSTM
-    states (reset at call start, matching the reference's
-    ``last_states_for_each_channel = None`` per batch,
+    ``__call__(windows)`` takes ``[B, T, H, W, bins]`` voxel windows
+    (``planar_input=True``: the ``[B, T, bins, H, W]`` planar TPU wire
+    format, transposed per scan step to keep the bins-minor padded buffer at
+    single-window size), applies per-window nonzero normalization, scans the
+    UNet over T carrying LSTM states (reset at call start, matching the
+    reference's ``last_states_for_each_channel = None`` per batch,
     pretrain_trainer.py:387), and returns ``(imgs [B, T, H, W, 1],
     final_latent)`` — trainers consume only the final window's latent
     (pretrain_trainer.py:389-395).
@@ -257,10 +271,19 @@ class E2VIDReconstructor(nn.Module):
     num_encoders: int = 3
     base_num_channels: int = 32
     dtype: Any = jnp.float32
+    planar_input: bool = False
 
     @nn.compact
     def __call__(self, windows: Array):
-        b, t, h, w = windows.shape[:4]
+        if self.planar_input:
+            b, t, c, h, w = windows.shape
+            # merge bins into H BEFORE the scan-major transpose: every
+            # full-size tensor then has only large, tile-friendly dims, so
+            # no layout XLA picks can force a 128-lane pad of the 5-wide
+            # bins dim (which would cost 25x HBM at production scale)
+            windows = windows.reshape(b, t, c * h, w)
+        else:
+            b, t, h, w = windows.shape[:4]
         states0 = []
         for i in range(self.num_encoders):
             ch = self.base_num_channels * (2 ** (i + 1))
@@ -269,14 +292,17 @@ class E2VIDReconstructor(nn.Module):
                 (jnp.zeros(sh, self.dtype), jnp.zeros(sh, self.dtype))
             )
 
-        xs = jnp.moveaxis(windows, 1, 0)  # [T, B, H, W, bins]
+        xs = jnp.moveaxis(windows, 1, 0)  # [T, B, ...] scan-major
         scanned = nn.scan(
             _RecurrentStep,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,
-        )(self.num_bins, self.normalize, self.dtype, name="step")
+        )(
+            self.num_bins, self.normalize, self.dtype,
+            planar=self.planar_input, name="step",
+        )
         _, (imgs, latents) = scanned(tuple(states0), xs)
         final_latent = jax.tree.map(lambda l: l[-1], latents)
         return jnp.moveaxis(imgs, 0, 1), final_latent

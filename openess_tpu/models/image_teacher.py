@@ -27,11 +27,19 @@ def imagenet_normalize(x):
 
 
 class DilationFeatureExtractor(nn.Module):
-    """256-d per-pixel frame features for F2E distillation."""
+    """256-d per-pixel frame features for F2E distillation.
+
+    ``output_stride``: 4 is the reference-exact fully-dilated trunk
+    (image_model.py:104); 8/16 keep the first one/two stage strides,
+    cutting stage-2..4 FLOPs 4x/16x — the features only feed superpixel
+    mean-pooling after upsampling to full resolution, so coarser trunks
+    trade negligible pooled-feature fidelity for most of the teacher's
+    step-time share (TPU fast path, ``tpu: teacher_os``)."""
 
     model_n_out: int = 256
     normalize_features: bool = True
     preprocess: bool = True
+    output_stride: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -39,8 +47,13 @@ class DilationFeatureExtractor(nn.Module):
         h, w = x.shape[1], x.shape[2]
         if self.preprocess:
             x = imagenet_normalize(x)
+        dilation = {
+            4: (True, True, True),
+            8: (False, True, True),
+            16: (False, False, True),
+        }[self.output_stride]
         feat = ResNet50(
-            replace_stride_with_dilation=(True, True, True),
+            replace_stride_with_dilation=dilation,
             dtype=self.dtype,
             name="encoder",
         )(x, train=False)  # frozen teacher: always inference-mode BN

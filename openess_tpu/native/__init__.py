@@ -46,10 +46,10 @@ def _try_load():
     ]
     lib.voxelize_bilinear_t.argtypes = [ip, ip, fp, ip, i64, i32, i32, i32, fp, fp]
     lib.voxelize_trilinear_windows.argtypes = [
-        fp, fp, fp, fp, ip, i64, i64, i32, i32, i32, i32, i32, fp, i32
+        fp, fp, fp, fp, ip, i64, i64, i32, i32, i32, i32, i32, fp, i32, i32
     ]
     lib.voxelize_bilinear_t_windows.argtypes = [
-        fp, fp, fp, fp, ip, i64, i64, i32, i32, i32, i32, i32, fp, i32
+        fp, fp, fp, fp, ip, i64, i64, i32, i32, i32, i32, i32, fp, i32, i32
     ]
     lib.event_histogram.argtypes = [ip, ip, fp, i64, i32, i32, fp, fp]
     lib.time_indices_offsets.argtypes = [
@@ -110,19 +110,28 @@ def _as_flat_f32(a, n_win, K):
 
 def voxelize_trilinear_windows_host(
     x, y, p, t, counts, num_bins, height, width,
-    *, crop_bottom=0, norm_mode=0, n_threads=1,
+    *, crop_bottom=0, norm_mode=0, n_threads=1, layout="nhwc",
 ) -> np.ndarray:
     """Batched DSEC trilinear voxelization of ``n_win`` windows in one native
     call, parallel across windows. Inputs are [n_win, K] (window w uses its
-    first ``counts[w]`` events); returns [n_win, height-crop_bottom, width,
-    num_bins] NHWC float32. norm_mode: 0 none / 1 unbiased / 2 biased
-    nonzero-normalization (representations.py:45-53 / data_util.py:38-48)."""
+    first ``counts[w]`` events). norm_mode: 0 none / 1 unbiased / 2 biased
+    nonzero-normalization (representations.py:45-53 / data_util.py:38-48).
+
+    layout="nhwc": [n_win, height-crop_bottom, width, num_bins] float32.
+    layout="chw": [n_win, num_bins, height-crop_bottom, width] — the TPU
+    wire format (the device entry buffer keeps the tiled minor dims (H, W),
+    so XLA pads nothing; a bins-minor entry layout pads 5 -> 128 lanes,
+    a 25x HBM blowup at DSEC scale) and the faster host path (pure memcpy
+    instead of a strided transpose)."""
     counts = np.ascontiguousarray(counts, np.int64)
     n_win = counts.size
     K = np.asarray(x).size // max(n_win, 1)
-    out = np.zeros(
-        (n_win, height - crop_bottom, width, num_bins), np.float32
+    planar = layout == "chw"
+    shape = (
+        (n_win, num_bins, height - crop_bottom, width) if planar
+        else (n_win, height - crop_bottom, width, num_bins)
     )
+    out = np.zeros(shape, np.float32)
     lib = _try_load()
     if lib is not None:
         lib.voxelize_trilinear_windows(
@@ -130,6 +139,7 @@ def voxelize_trilinear_windows_host(
             _as_flat_f32(p, n_win, K), _as_flat_f32(t, n_win, K),
             counts, n_win, K, num_bins, height, width,
             crop_bottom, norm_mode, out.reshape(-1), n_threads,
+            1 if planar else 0,
         )
         return out
     # fallback: per-window single calls + numpy normalize/crop/transpose
@@ -147,22 +157,30 @@ def voxelize_trilinear_windows_host(
         )
         g = _normalize_nonzero_np(g, norm_mode)
         hcrop = height - crop_bottom
-        out[w] = g[:, :hcrop, :].transpose(1, 2, 0)
+        g = g[:, :hcrop, :]
+        out[w] = g if planar else g.transpose(1, 2, 0)
     return out
 
 
 def voxelize_bilinear_t_windows_host(
     x, y, p, t, counts, num_bins, height, width,
-    *, separate_pol=True, norm_mode=0, n_threads=1,
+    *, separate_pol=True, norm_mode=0, n_threads=1, layout="nhwc",
 ) -> np.ndarray:
     """Batched DDD17 voxelization, one native call parallel across windows.
-    Returns [n_win, height, width, Cout] with Cout = 2*num_bins
-    (separate_pol: pos bins then neg) or num_bins (pos - neg)."""
+    Cout = 2*num_bins (separate_pol: pos bins then neg) or num_bins
+    (pos - neg). layout="nhwc": [n_win, height, width, Cout];
+    layout="chw": [n_win, Cout, height, width] (TPU wire format, memcpy
+    path — see voxelize_trilinear_windows_host)."""
     counts = np.ascontiguousarray(counts, np.int64)
     n_win = counts.size
     K = np.asarray(x).size // max(n_win, 1)
     cout = 2 * num_bins if separate_pol else num_bins
-    out = np.zeros((n_win, height, width, cout), np.float32)
+    planar = layout == "chw"
+    shape = (
+        (n_win, cout, height, width) if planar
+        else (n_win, height, width, cout)
+    )
+    out = np.zeros(shape, np.float32)
     lib = _try_load()
     if lib is not None:
         lib.voxelize_bilinear_t_windows(
@@ -170,6 +188,7 @@ def voxelize_bilinear_t_windows_host(
             _as_flat_f32(p, n_win, K), _as_flat_f32(t, n_win, K),
             counts, n_win, K, num_bins, height, width,
             1 if separate_pol else 0, norm_mode, out.reshape(-1), n_threads,
+            1 if planar else 0,
         )
         return out
     xs = np.asarray(x, np.float32).reshape(n_win, K)
@@ -186,7 +205,7 @@ def voxelize_bilinear_t_windows_host(
             num_bins, height, width, separate_pol=separate_pol,
         )
         g = _normalize_nonzero_np(g, norm_mode)
-        out[w] = g.transpose(1, 2, 0)
+        out[w] = g if planar else g.transpose(1, 2, 0)
     return out
 
 
@@ -239,3 +258,47 @@ def voxelize_bilinear_t_host(
     pos = pos.reshape(C, H, W)
     neg = neg.reshape(C, H, W)
     return np.concatenate([pos, neg], 0) if separate_pol else pos - neg
+
+
+def event_histogram_host(x, y, p, height, width) -> np.ndarray:
+    """2-channel (neg, pos) event-count histogram, planar [2, H, W]
+    (data_util.py:17-35 ``generate_event_histogram`` semantics: channel 0 =
+    negative counts, channel 1 = positive)."""
+    xs = np.ascontiguousarray(np.asarray(x), np.int64)
+    ys = np.ascontiguousarray(np.asarray(y), np.int64)
+    pf = np.ascontiguousarray(np.asarray(p), np.float32)
+    lib = _try_load()
+    if lib is not None:
+        neg = np.zeros(height * width, np.float32)
+        pos = np.zeros(height * width, np.float32)
+        lib.event_histogram(xs, ys, pf, xs.size, height, width, neg, pos)
+        return np.stack([neg, pos]).reshape(2, height, width)
+    ok = (xs >= 0) & (xs < width) & (ys >= 0) & (ys < height)
+    flat = ys * width + xs
+    neg = np.zeros(height * width, np.float32)
+    pos = np.zeros(height * width, np.float32)
+    is_pos = pf > 0
+    np.add.at(pos, flat[ok & is_pos], 1.0)
+    np.add.at(neg, flat[ok & ~is_pos], 1.0)
+    return np.stack([neg, pos]).reshape(2, height, width)
+
+
+def event_histogram_windows_host(
+    x, y, p, counts, height, width, *, norm_mode=0
+) -> np.ndarray:
+    """Batched per-window histograms: [n_win, K] inputs -> planar
+    [n_win, 2, H, W] (the ``event_representation: histogram`` path)."""
+    counts = np.ascontiguousarray(counts, np.int64)
+    n_win = counts.size
+    K = np.asarray(x).size // max(n_win, 1)
+    xs = np.asarray(x, np.float32).reshape(n_win, K)
+    ys = np.asarray(y, np.float32).reshape(n_win, K)
+    ps = np.asarray(p, np.float32).reshape(n_win, K)
+    out = np.zeros((n_win, 2, height, width), np.float32)
+    for w in range(n_win):
+        n = int(counts[w])
+        if n == 0:
+            continue
+        g = event_histogram_host(xs[w, :n], ys[w, :n], ps[w, :n], height, width)
+        out[w] = _normalize_nonzero_np(g, norm_mode)
+    return out

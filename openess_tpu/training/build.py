@@ -110,9 +110,14 @@ def build_models(s: Settings, seed: int = 0) -> ModelSet:
         linear_probe=lp,
         dtype=dt,
     )
-    teacher = lambda: DilationFeatureExtractor(dtype=dt)
+    teacher = lambda: DilationFeatureExtractor(
+        dtype=dt, output_stride=s.teacher_os
+    )
     e2vid = lambda: E2VIDReconstructor(
-        num_bins=s.nr_temporal_bins_b, normalize=True, dtype=dt
+        # input_channels_b covers voxel_grid (bins, x2 if separate_pol),
+        # histogram (2), ev_segnet (6) representations
+        num_bins=s.input_channels_b, normalize=True, dtype=dt,
+        planar_input=True,  # batches carry the [B, T, C, H, W] wire format
     )
     head = lambda lp=False: SemSegE2VID(
         input_c=256, num_classes=s.semseg_num_classes, linear_probe=lp, dtype=dt
@@ -164,7 +169,8 @@ def build_models(s: Settings, seed: int = 0) -> ModelSet:
         key, k = jax.random.split(key)
         role = roles[name]
         if role == "e2vid":
-            dummy = jnp.zeros((1, 2, h, w, s.nr_temporal_bins_b), jnp.float32)
+            # planar [B, T, C, H, W] wire format (planar_input=True)
+            dummy = jnp.zeros((1, 2, s.input_channels_b, h, w), jnp.float32)
             v = m.init(k, dummy)
         elif role == "semseg_head":
             latent = {

@@ -6,8 +6,14 @@ sup_only_trainer.py:334-393, linear_probe_trainer.py, openess_trainer.py:
 330-535) with a single ``make_train_step(settings)`` whose branch structure
 is resolved at trace time from (task, config_option).
 
-Batch dict convention (device arrays, NHWC):
-  event       [B, T, H, W, bins]   voxelized windows (T = nr_events_data)
+Batch dict convention (device arrays, NHWC except events):
+  event       [B, T, bins, H, W]   voxelized windows (T = nr_events_data),
+                                   planar TPU wire format: the tiled minor
+                                   dims of the entry buffer are (H, W), so
+                                   XLA pads nothing (a bins-minor layout
+                                   pads 5 -> 128 lanes, 25x HBM). Moved to
+                                   NHWC on device at the top of the event
+                                   path.
   frame/recon [B, H, W, 3]         in [0, 1]
   label/pl/superpixel [B, H, W]    int32
   sam_feat    [B, h, w, 256]       optional SAM teacher features
@@ -96,6 +102,9 @@ class StepBuilder:
         E2VID params the reference adds to the voxel optimizer
         (finetune_trainer.py:207-214) actually receive gradients.
         """
+        # windows arrive in the planar [B, T, bins, H, W] wire format; the
+        # E2VID scan transposes to NHWC per step (planar_input=True) so no
+        # full-size bins-minor buffer is ever materialized
         (_, latent), _ = self._apply(
             "front_sensor_b", params, bstats, windows, train=False
         )
@@ -302,6 +311,26 @@ class StepBuilder:
             return new_state, losses
 
         return train_step
+
+    def make_viz_step(self):
+        """Prediction + 256-d latent features for the qualitative val-time
+        visualizations (confusion plots, PCA latent maps — the reference's
+        ``visualizeConfusionMatrix`` / ``computePCA`` hooks)."""
+        opt = self.s.config_option
+
+        @jax.jit
+        def viz_step(params, batch_stats, batch):
+            if opt in VOXEL_OPTIONS:
+                logits, feats = self._event_path(
+                    params, batch_stats, batch["event"], False, None
+                )
+            else:
+                logits, feats, _ = self._deeplab(
+                    "model_recon", params, batch_stats, batch["recon"], False, None
+                )
+            return jnp.argmax(logits, axis=-1), feats
+
+        return viz_step
 
     def make_eval_step(self):
         s = self.s

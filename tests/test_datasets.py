@@ -59,7 +59,7 @@ def test_dsec_event_batch(dsec_root):
     # 16 labels - 6 (warmup trim) = 10 usable
     assert len(ds) == 10
     batch = ds.get_batch([0, 1])
-    assert batch["event"].shape == (2, 2, 440, 640, 5)
+    assert batch["event"].shape == (2, 2, 5, 440, 640)  # planar wire format
     assert batch["recon"].shape == (2, 440, 640, 3)
     assert batch["label"].shape == (2, 440, 640)
     assert batch["pl"].shape == (2, 440, 640)
@@ -138,7 +138,7 @@ def test_ddd17_event_batch(ddd17_root):
     ds = DDD17Dataset(s, split="train")
     assert len(ds) == 5 * 6  # 5 train dirs x 6 masks
     batch = ds.get_batch([0, 7])
-    assert batch["event"].shape == (2, 2, 200, 352, 5)
+    assert batch["event"].shape == (2, 2, 5, 200, 352)  # planar wire format
     assert batch["label"].shape == (2, 200, 352)
     assert batch["recon"].shape == (2, 200, 352, 3)
     assert np.abs(batch["event"]).sum() > 0
@@ -160,3 +160,90 @@ def test_ddd17_valid_split(ddd17_root):
     batch = ds.get_batch([0, 1])
     assert batch["frame"].shape == (2, 200, 352, 3)
     assert (batch["pl"] == 1).all()  # valid split: no pseudo-labels
+
+
+def test_dsec_histogram_representation(dsec_root):
+    """event_representation: histogram -> 2-channel count maps
+    (data_util.py:17-35), same crop/window contract as the voxel path."""
+    from openess_tpu.data.dsec import DSECDataset
+
+    s = make_settings(
+        dataset_name_b="DSEC_events",
+        dataset_path_b=str(dsec_root),
+        config_option="recon2voxel",
+        nr_events_data_b=2,
+        nr_events_window_b=500,
+        event_representation_b="histogram",
+        pl_sources="pl_fcclip_rgb",
+        superpixel_sources="sp_sam_rgb",
+    )
+    assert s.input_channels_b == 2
+    ds = DSECDataset(s, split="train")
+    batch = ds.get_batch([0, 1])
+    assert batch["event"].shape == (2, 2, 2, 440, 640)
+    assert (batch["event"] >= 0).all()  # counts
+    assert batch["event"].sum() > 0
+
+
+def test_ddd17_histogram_representation(ddd17_root):
+    from openess_tpu.data.ddd17 import DDD17Dataset
+
+    s = make_settings(
+        dataset_name_b="DDD17_events",
+        dataset_path_b=str(ddd17_root),
+        config_option="frame2voxel",
+        semseg_num_classes=6,
+        nr_events_data_b=2,
+        event_representation_b="histogram",
+        pl_sources="pl_fcclip_rgb",
+        superpixel_sources="",
+    )
+    assert s.input_channels_b == 2
+    ds = DDD17Dataset(s, split="train")
+    batch = ds.get_batch([0, 1])
+    assert batch["event"].shape == (2, 2, 2, 200, 352)
+    assert batch["event"].sum() != 0
+
+
+def test_histogram_batch_trains(dsec_root):
+    """The histogram representation flows through the full event train
+    step (e2vid input channels follow input_channels_b)."""
+    import jax
+    import jax.numpy as jnp
+
+    from openess_tpu.data.dsec import DSECDataset
+    from openess_tpu.training.build import build_models, trainable_labels
+    from openess_tpu.training.optim import make_optimizer
+    from openess_tpu.training.steps import StepBuilder, TrainState
+
+    s = make_settings(
+        dataset_name_b="DSEC_events",
+        dataset_path_b=str(dsec_root),
+        config_option="recon2voxel",
+        if_finetuning=True,
+        nr_events_data_b=2,
+        nr_events_window_b=500,
+        event_representation_b="histogram",
+        img_size_b=(64, 96),
+        compute_dtype="float32",
+        pl_sources="pl_fcclip_rgb",
+        superpixel_sources="sp_sam_rgb",
+    )
+    mset = build_models(s, seed=0)
+    tx = make_optimizer(s, trainable_labels(mset, s), steps_per_epoch=2)
+    sb = StepBuilder(s, mset, tx)
+    step = sb.make_train_step()
+    state = TrainState(
+        step=jnp.asarray(0), params=mset.params,
+        batch_stats=mset.batch_stats, opt_state=tx.init(mset.params),
+    )
+    rng = np.random.default_rng(3)
+    batch = {
+        "event": rng.poisson(0.1, (2, 2, 2, 64, 96)).astype(np.float32),
+        "label": rng.integers(0, 11, (2, 64, 96)).astype(np.int32),
+        "pl": rng.integers(0, 11, (2, 64, 96)).astype(np.int32),
+        "superpixel": rng.integers(0, 20, (2, 64, 96)).astype(np.int32),
+    }
+    batch = jax.tree.map(jnp.asarray, batch)
+    state, losses = step(state, batch, jax.random.key(0), jnp.asarray(0))
+    assert np.isfinite(float(losses["total_loss"]))

@@ -109,3 +109,45 @@ def test_bilinear_t_windows_matches_per_window(rng, separate_pol):
             C, H, W, separate_pol=separate_pol,
         )
         np.testing.assert_allclose(out[w], g.transpose(1, 2, 0), atol=1e-5)
+
+
+@pytest.mark.parametrize("norm_mode", [0, 1])
+def test_trilinear_windows_chw_layout_matches_nhwc(rng, norm_mode):
+    """layout='chw' (the planar TPU wire format) is exactly the NHWC output
+    transposed — both native branches hit the same scatter + normalize."""
+    from openess_tpu.native import voxelize_trilinear_windows_host
+
+    C, H, W, K, n_win = 5, 24, 40, 500, 5
+    x, y, p, t, counts = _window_events(rng, n_win, K, H, W)
+    nhwc = voxelize_trilinear_windows_host(
+        x, y, p, t, counts, C, H, W,
+        crop_bottom=4, norm_mode=norm_mode, n_threads=2,
+    )
+    chw = voxelize_trilinear_windows_host(
+        x, y, p, t, counts, C, H, W,
+        crop_bottom=4, norm_mode=norm_mode, n_threads=2, layout="chw",
+    )
+    assert chw.shape == (n_win, C, H - 4, W)
+    np.testing.assert_array_equal(chw, nhwc.transpose(0, 3, 1, 2))
+
+
+@pytest.mark.parametrize("separate_pol", [True, False])
+def test_bilinear_t_windows_chw_layout_matches_nhwc(rng, separate_pol):
+    from openess_tpu.native import voxelize_bilinear_t_windows_host
+
+    C, H, W, K, n_win = 4, 20, 30, 400, 4
+    x = rng.integers(0, W, (n_win, K)).astype(np.float32)
+    y = rng.integers(0, H, (n_win, K)).astype(np.float32)
+    p = rng.integers(0, 2, (n_win, K)).astype(np.float32)
+    t = np.sort(rng.integers(0, 10**6, (n_win, K)), axis=1).astype(np.float32)
+    counts = rng.integers(1, K + 1, n_win).astype(np.int64)
+    nhwc = voxelize_bilinear_t_windows_host(
+        x, y, p, t, counts, C, H, W, separate_pol=separate_pol, n_threads=2,
+    )
+    chw = voxelize_bilinear_t_windows_host(
+        x, y, p, t, counts, C, H, W, separate_pol=separate_pol, n_threads=2,
+        layout="chw",
+    )
+    cout = 2 * C if separate_pol else C
+    assert chw.shape == (n_win, cout, H, W)
+    np.testing.assert_array_equal(chw, nhwc.transpose(0, 3, 1, 2))

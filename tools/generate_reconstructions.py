@@ -50,11 +50,13 @@ def main():
     s.__post_init__()
 
     unet_params = load_e2vid_checkpoint(args.e2vid_ckpt)
-    recon = E2VIDReconstructor(dtype=jnp.bfloat16)
+    recon = E2VIDReconstructor(dtype=jnp.bfloat16, planar_input=True)
     variables = {"params": {"step": {"unet": unet_params}}}
 
     @jax.jit
     def run(windows):
+        # planar [1, T, bins, H, W] wire format; the reconstructor
+        # transposes per scan step (planar_input=True)
         imgs, _ = recon.apply(variables, windows)
         return jnp.clip(imgs[:, -1, :, :, 0], 0, 1)
 
@@ -75,13 +77,12 @@ def main():
             if op.exists():
                 continue
             x, y, p, t, valid = seq.load_events(i)
-            grids = np.zeros((1, args.nr_windows, H, W, 5), np.float32)
+            grids = np.zeros((1, args.nr_windows, 5, H, W), np.float32)
             for wi in range(args.nr_windows):
                 m = valid[wi]
-                g = voxelize_trilinear_host(
+                grids[0, wi] = voxelize_trilinear_host(
                     x[wi][m], y[wi][m], p[wi][m], t[wi][m], 5, H, W
                 )
-                grids[0, wi] = g.transpose(1, 2, 0)
             img = np.asarray(run(grids))[0]
             # reference post-processing chain (image_reconstructor.py:
             # intensity rescale + unsharp mask)
