@@ -17,7 +17,12 @@ import numpy as np
 
 from openess_tpu.config.settings import Settings
 from openess_tpu.metrics import MetricsSemseg
-from openess_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from openess_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_params_tp,
+)
 from openess_tpu.training import checkpoint as ckpt
 from openess_tpu.training.build import build_models, trainable_labels
 from openess_tpu.training.optim import make_optimizer
@@ -78,7 +83,17 @@ class Trainer:
                 restore_optimizer=settings.resume_restore_optimizer,
             )
             log.info("resumed from %s at epoch %d", settings.resume_ckpt_file, self.epoch)
-        self.state = replicate(state, self.mesh)
+        if settings.tp_mode == "channel" and self.mesh.shape["model"] > 1:
+            # TP: wide kernels (and their optimizer moments — same dict
+            # paths inside the adam state) shard on the model axis
+            self.state = TrainState(
+                step=replicate(state.step, self.mesh),
+                params=shard_params_tp(state.params, self.mesh),
+                batch_stats=replicate(state.batch_stats, self.mesh),
+                opt_state=shard_params_tp(state.opt_state, self.mesh),
+            )
+        else:
+            self.state = replicate(state, self.mesh)
 
         self.metrics = MetricsSemseg(
             settings.semseg_num_classes,
@@ -91,10 +106,13 @@ class Trainer:
     def _batches(self, dataset, train: bool):
         from openess_tpu.data.pipeline import PrefetchLoader
 
+        spatial = (
+            self.s.tp_mode == "spatial" and self.mesh.shape["model"] > 1
+        )
         loader = PrefetchLoader(
             dataset, self.s.batch_size_b,
             shuffle=train, rng=self.np_rng,
-            put_fn=lambda b: shard_batch(b, self.mesh),
+            put_fn=lambda b: shard_batch(b, self.mesh, spatial=spatial),
             num_workers=self.s.num_cpu_workers,
         )
         yield from loader
@@ -131,7 +149,10 @@ class Trainer:
         if self.val_data is None:
             return {}
         self.metrics.reset()
+        first_batch = None
         for batch in self._batches(self.val_data, train=False):
+            if first_batch is None:
+                first_batch = batch
             pred, _ = self.eval_step(
                 self.state.params, self.state.batch_stats, batch
             )
@@ -141,7 +162,60 @@ class Trainer:
             "epoch %d val: mIoU %.2f acc %.2f",
             self.epoch, summary["miou"], summary["acc"],
         )
+        if self.s.vis_dir and first_batch is not None:
+            try:
+                self._write_visuals(first_batch, summary)
+            except Exception:  # viz must never kill a run
+                log.exception("visualization failed")
         return summary
+
+    def _write_visuals(self, batch, summary) -> None:
+        """Per-val-epoch qualitative dumps into ``vis_dir``: confusion-matrix
+        plots (viz_utils.py:76-103, 148-176), colorized pred/GT panels,
+        event previews, and the PCA latent-space map
+        (base_trainer_ov.py:547-565)."""
+        import os
+
+        from openess_tpu.utils import viz
+
+        d, e = self.s.vis_dir, self.epoch
+        cm = np.asarray(summary["cm"])
+        viz.confusion_matrix_png(cm, os.path.join(d, f"confusion_e{e:03d}.png"))
+        viz.confusion_matrix_png(
+            cm, os.path.join(d, f"confusion_norm_e{e:03d}.png"),
+            normalize=True, class_names=self.s.semseg_class_names,
+        )
+
+        if not hasattr(self, "_viz_step"):
+            self._viz_step = self.sb.make_viz_step()
+        pred, feats = self._viz_step(
+            self.state.params, self.state.batch_stats, batch
+        )
+        pred, feats = np.asarray(pred), np.asarray(feats)
+        labels = np.asarray(batch["label"])
+        n = min(4, pred.shape[0])
+        cmap = self.s.semseg_color_map
+        panels = np.stack(
+            [viz.colorize_semseg(pred[i], cmap, self.s.semseg_ignore_label)
+             for i in range(n)]
+            + [viz.colorize_semseg(labels[i], cmap, self.s.semseg_ignore_label)
+               for i in range(n)]
+        )
+        viz.save_png(
+            os.path.join(d, f"semseg_pred_gt_e{e:03d}.png"),
+            viz.image_grid(panels, nrow=n),
+        )
+        if "event" in batch:
+            ev = np.asarray(batch["event"][:n])  # [n, T, H, W, bins]
+            evs = np.stack([viz.event_image(ev[i].sum(0)) for i in range(n)])
+            viz.save_png(
+                os.path.join(d, f"event_preview_e{e:03d}.png"),
+                viz.image_grid(evs, nrow=n),
+            )
+        viz.save_png(
+            os.path.join(d, f"pca_latent_e{e:03d}.png"),
+            viz.image_grid(viz.pca_rgb(feats[:n]), nrow=n),
+        )
 
     def _maybe_checkpoint(self):
         if self.s.save_checkpoint and self.s.ckpt_dir:
