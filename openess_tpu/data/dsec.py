@@ -37,14 +37,36 @@ VAL_SEQUENCES = ["zurich_city_13_a", "zurich_city_14_c", "zurich_city_15_a"]
 
 
 @functools.lru_cache(maxsize=4)
-def _device_voxelizer(num_windows, num_bins, height, width, normalize, crop_bottom):
+def _device_voxelizer(num_windows, num_bins, height, width, normalize,
+                      crop_bottom):
+    """Device voxelization, returning the planar [B, T, bins, H, W] wire
+    format directly. On TPU the scatter-free Pallas MXU kernel
+    (ops/voxelize_mxu.py, ~2.6x the XLA scatter) is used; elsewhere the
+    bit-exact scatter path."""
     import jax
 
-    from openess_tpu.ops import voxelize_windows_trilinear
+    from openess_tpu.ops import (
+        normalize_nonzero,
+        voxelize_windows_trilinear,
+        voxelize_windows_trilinear_mxu,
+    )
+
+    use_mxu = jax.default_backend() not in ("cpu",)
 
     @jax.jit
     def run(x, y, p, t, valid):  # each [B, T*K]
         def one(args):
+            if use_mxu:
+                g = voxelize_windows_trilinear_mxu(
+                    *args, num_windows=num_windows, num_bins=num_bins,
+                    height=height, width=width,
+                )
+                if normalize:
+                    g = jax.vmap(
+                        lambda w: normalize_nonzero(w, unbiased=True)
+                    )(g.reshape(num_windows, num_bins, height, width))
+                    g = g.reshape(num_windows * num_bins, height, width)
+                return g
             return voxelize_windows_trilinear(
                 *args, num_windows=num_windows, num_bins=num_bins,
                 height=height, width=width, normalize=normalize,
@@ -54,10 +76,8 @@ def _device_voxelizer(num_windows, num_bins, height, width, normalize, crop_bott
             grids = grids[:, :, :-crop_bottom, :]
         b = grids.shape[0]
         h = grids.shape[2]
-        return (
-            grids.reshape(b, num_windows, num_bins, h, width)
-            .transpose(0, 1, 3, 4, 2)  # [B, T, H, W, bins]
-        )
+        # planar [B, T, bins, h, W] — a contiguous reshape, no transpose
+        return grids.reshape(b, num_windows, num_bins, h, width)
 
     return run
 
@@ -311,6 +331,5 @@ class DSECDataset:
                 vox = _device_voxelizer(
                     T, bins, H, W, s.normalize_event_b, crop_bottom=40,
                 )
-                nhwc = np.asarray(vox(*stacked))
-                batch["event"] = np.moveaxis(nhwc, -1, 2)
+                batch["event"] = np.asarray(vox(*stacked))
         return batch

@@ -5,6 +5,7 @@ from openess_tpu.ops.voxelize import (
     voxel_grid_trilinear,
     voxelize_windows_trilinear,
 )
+from openess_tpu.ops.voxelize_mxu import voxelize_windows_trilinear_mxu
 
 __all__ = [
     "event_histogram",
@@ -12,4 +13,5 @@ __all__ = [
     "voxel_grid_bilinear_t",
     "voxel_grid_trilinear",
     "voxelize_windows_trilinear",
+    "voxelize_windows_trilinear_mxu",
 ]

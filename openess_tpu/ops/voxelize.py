@@ -25,10 +25,13 @@ grid): XLA scatter-add 133 ms; sort(81 ms)+sorted-scatter 215 ms;
 sort+cumsum+boundary unique-scatter 219 ms; a Pallas VMEM-resident serial
 scatter is rejected by Mosaic ("cannot statically prove index is a multiple
 of 128" — the TPU ISA has no unaligned per-element VMEM store, so per-event
-scatter cannot vectorize). XLA's scatter (~120M updates/s) is therefore the
-device ceiling; the production data plane uses the native C++ host kernel
-(``openess_tpu.native``, ~175M updates/s/core, threads scale linearly) and
-overlaps it with device compute via the prefetch pipeline.
+scatter cannot vectorize). XLA's scatter (~9.7 Mev/s at DSEC scale) is the
+ceiling for scatter-BASED device voxelization; the round-2 scatter-FREE
+Pallas kernel (``ops/voxelize_mxu.py``: trilinear splat as one-hot-weighted
+MXU matmuls) reaches ~25 Mev/s (2.6x) on-chip. The production data plane
+picks between the native C++ host kernel (``openess_tpu.native``, ~175M
+updates/s/core, threads scale linearly) and the device kernels, overlapped
+with device compute via the prefetch pipeline.
 """
 from __future__ import annotations
 

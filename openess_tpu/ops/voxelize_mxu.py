@@ -1,0 +1,157 @@
+"""Pallas MXU voxelizer: trilinear event voxelization as dense matmuls.
+
+Round-2 answer to the XLA-scatter ceiling (~10 Mev/s device-side, see
+ops/voxelize.py perf notes): scatter-free voxelization. The trilinear splat
+(reference ``DSEC/dataset/representations.py:15-43``) is separable,
+
+    grid[t, y, x] = sum_e v_e * wt_e(t) * wy_e(y) * wx_e(x),
+
+so for a chunk of events we can build two dense weight matrices on the VPU —
+``B[e, t*H + y] = v_e * wt * wy`` (4 nonzeros per row: 2 t-bins x 2
+y-corners) and ``A[e, x] = wx`` (2 nonzeros per row) — via broadcasted-iota
+comparisons against the per-event corner indices, and accumulate
+
+    grid[ty, x] += B^T @ A
+
+on the MXU. No scatter, no sort, no atomics: the "collision" problem that
+makes voxelization hard on SIMD hardware disappears into the systolic
+array's reduction. The full per-window grid ([C*H, W] = 2400 x 640 f32 =
+6.1 MB at DSEC scale) lives in VMEM across the event-chunk loop.
+
+Corner semantics match the reference exactly (trunc-toward-zero corner
+pair {x0, x0+1} with weights 1 - |corner - coord|, including the negative
+weights the reference's .int() truncation produces for fractional negative
+coords; out-of-range corners drop because iota columns only span the grid).
+Padding events are folded in with value 0.
+
+Numerics: B and A are bf16 (MXU-native), accumulation f32 — relative error
+~1e-2 on cell values, plenty below event-count noise for training; the XLA
+scatter path (ops/voxelize.py) remains the bit-exact reference.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+EVENT_CHUNK = 256  # events per MXU accumulation step (VMEM-bounded)
+
+
+def _kernel(x_ref, y_ref, tn_ref, v_ref, out_ref, *, num_bins, height, width):
+    """One (window, event-chunk) grid step: out[ty, x] += B^T A."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    ec = x_ref.shape[1]
+    x = x_ref[0, :, :]    # [Ec, 1] f32 (events ride the sublane axis)
+    y = y_ref[0, :, :]
+    tn = tn_ref[0, :, :]
+    v = v_ref[0, :, :]
+
+    # corner indices, torch .int() truncation (representations.py:27-29)
+    x0 = x.astype(jnp.int32)
+    y0 = y.astype(jnp.int32)
+    t0 = tn.astype(jnp.int32)
+
+    # A[e, col] = 1 - |col - x| on the two corner columns {x0, x0+1}
+    colx = jax.lax.broadcasted_iota(jnp.int32, (ec, width), 1)
+    wx = 1.0 - jnp.abs(colx.astype(jnp.float32) - x)
+    a = jnp.where((colx == x0) | (colx == x0 + 1), wx, 0.0)
+
+    # B[e, t*H + y] = v * (1 - |t - tn|) * (1 - |yc - y|) on the 2x2 corners
+    colty = jax.lax.broadcasted_iota(jnp.int32, (ec, num_bins * height), 1)
+    tcol = colty // height
+    ycol = colty - tcol * height
+    wt = 1.0 - jnp.abs(tcol.astype(jnp.float32) - tn)
+    wy = 1.0 - jnp.abs(ycol.astype(jnp.float32) - y)
+    sel = ((tcol == t0) | (tcol == t0 + 1)) & ((ycol == y0) | (ycol == y0 + 1))
+    b = jnp.where(sel, v * wt * wy, 0.0)
+
+    out_ref[0] += jax.lax.dot_general(
+        b.astype(jnp.bfloat16),
+        a.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_windows", "num_bins", "height", "width", "interpret"),
+)
+def voxelize_windows_trilinear_mxu(
+    x: Array,
+    y: Array,
+    p: Array,
+    t: Array,
+    valid: Array,
+    *,
+    num_windows: int,
+    num_bins: int,
+    height: int,
+    width: int,
+    interpret: bool = False,
+) -> Array:
+    """Drop-in MXU counterpart of ``voxelize_windows_trilinear``.
+
+    Flat ``[num_windows * K]`` inputs -> ``[num_windows * num_bins, H, W]``
+    float32 grid (same contract/layout as the scatter path). Events are
+    chunk-padded internally; ``valid=False`` events contribute 0.
+    """
+    nw, C, H, W = num_windows, num_bins, height, width
+    n = x.shape[0]
+    assert n % nw == 0, (n, nw)
+    k = n // nw
+
+    xs = x.astype(jnp.float32).reshape(nw, k)
+    ys = y.astype(jnp.float32).reshape(nw, k)
+    ts = t.astype(jnp.float32).reshape(nw, k)
+    vs = valid.reshape(nw, k)
+
+    # per-window time normalization over VALID events (representations.py:24)
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+    t_first = jnp.min(jnp.where(vs, ts, big), axis=1, keepdims=True)
+    t_last = jnp.max(jnp.where(vs, ts, -big), axis=1, keepdims=True)
+    dt = t_last - t_first
+    dt = jnp.where(dt > 0, dt, 1.0)
+    tn = (C - 1) * (ts - t_first) / dt
+
+    value = jnp.where(vs, 2.0 * p.reshape(nw, k).astype(jnp.float32) - 1.0, 0.0)
+    # route padding events fully out of every corner window
+    xs = jnp.where(vs, xs, -4.0)
+    ys = jnp.where(vs, ys, -4.0)
+    tn = jnp.where(vs, tn, -4.0)
+
+    # pad the event axis to the chunk size
+    kp = ((k + EVENT_CHUNK - 1) // EVENT_CHUNK) * EVENT_CHUNK
+    if kp != k:
+        pad = ((0, 0), (0, kp - k))
+        xs = jnp.pad(xs, pad, constant_values=-4.0)
+        ys = jnp.pad(ys, pad, constant_values=-4.0)
+        tn = jnp.pad(tn, pad, constant_values=-4.0)
+        value = jnp.pad(value, pad)
+
+    grid = pl.pallas_call(
+        functools.partial(_kernel, num_bins=C, height=H, width=W),
+        grid=(nw, kp // EVENT_CHUNK),
+        in_specs=[
+            # [nw, kp, 1] with the event chunk on the sublane axis satisfies
+            # the (8, 128)-divisible-or-full block constraint
+            pl.BlockSpec((1, EVENT_CHUNK, 1), lambda w, c: (w, c, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        out_specs=pl.BlockSpec((1, C * H, W), lambda w, c: (w, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nw, C * H, W), jnp.float32),
+        interpret=interpret,
+    )(xs[..., None], ys[..., None], tn[..., None], value[..., None])
+    return grid.reshape(nw * C, H, W)

@@ -247,3 +247,24 @@ def test_histogram_batch_trains(dsec_root):
     batch = jax.tree.map(jnp.asarray, batch)
     state, losses = step(state, batch, jax.random.key(0), jnp.asarray(0))
     assert np.isfinite(float(losses["total_loss"]))
+
+
+def test_dsec_device_voxelizer_matches_host(dsec_root):
+    """host_voxelize=False (device scatter / Pallas MXU on TPU) produces the
+    same planar [B, T, bins, H, W] batch as the native host path."""
+    from openess_tpu.data.dsec import DSECDataset
+
+    kw = dict(
+        dataset_name_b="DSEC_events",
+        dataset_path_b=str(dsec_root),
+        config_option="recon2voxel",
+        nr_events_data_b=2,
+        nr_events_window_b=500,
+        pl_sources="pl_fcclip_rgb",
+        superpixel_sources="sp_sam_rgb",
+    )
+    host = DSECDataset(make_settings(**kw), split="train").get_batch([0, 1])
+    s2 = make_settings(host_voxelize=False, **kw)
+    dev = DSECDataset(s2, split="train").get_batch([0, 1])
+    assert dev["event"].shape == host["event"].shape == (2, 2, 5, 440, 640)
+    np.testing.assert_allclose(dev["event"], host["event"], atol=1e-4)
