@@ -16,7 +16,7 @@ Extra context metrics ride in the same JSON object:
    bf16 peak.
  - host_assembly_ms_b8 / host_voxelize_mev_s: the batched multithreaded
    native windows-voxelizer assembling the same B8 batch on host.
- - pipeline_step_ms_b8 / pipeline_samples_per_s: steady-state step rate
+ - pipeline_step_ms_b8_measured / _modeled_local_host: steady-state step rate
    with host assembly + H2D transfer overlapped against the device step
    (PrefetchLoader pattern) — the honest end-to-end training rate.
  - h2d_put_ms_b8: device_put cost of the 1.1 GB event batch (through the
@@ -359,8 +359,16 @@ def main():
         extra["host_feeds_chip"] = bool(asm_ms <= step_ms)
 
         pipe_ms = bench_pipeline(train_step, state, host_batch, assemble)
-        extra["pipeline_step_ms_b8"] = round(pipe_ms, 1)
-        extra["pipeline_samples_per_s"] = round(B / (pipe_ms / 1e3), 2)
+        extra["pipeline_step_ms_b8_measured"] = round(pipe_ms, 1)
+        # The measured number rides the axon relay's ~50 MB/s H2D tunnel
+        # (h2d_put_ms_b8); on a TPU host the batch rides DMA at >=10 GB/s,
+        # so the steady-state pipeline is bounded by max(device step, host
+        # assembly) + DMA. Report that bound explicitly.
+        batch_bytes = sum(v.nbytes for v in host_batch.values())
+        dma_ms = batch_bytes / 10e9 * 1e3  # conservative 10 GB/s
+        modeled = max(step_ms, asm_ms + dma_ms)
+        extra["pipeline_step_ms_b8_modeled_local_host"] = round(modeled, 1)
+        extra["pipeline_samples_per_s_modeled"] = round(B / (modeled / 1e3), 2)
     except Exception as e:  # keep the headline metric printing no matter what
         extra["train_bench_error"] = f"{type(e).__name__}: {e}"
 

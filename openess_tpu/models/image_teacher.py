@@ -40,6 +40,7 @@ class DilationFeatureExtractor(nn.Module):
     normalize_features: bool = True
     preprocess: bool = True
     output_stride: int = 4
+    frozen_encoder: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -57,6 +58,14 @@ class DilationFeatureExtractor(nn.Module):
             dtype=self.dtype,
             name="encoder",
         )(x, train=False)  # frozen teacher: always inference-mode BN
+        if self.frozen_encoder:
+            # reference: encoder requires_grad=False (image_model.py:116-117)
+            # — grads never reach it, so cut the (expensive, fully-dilated)
+            # R50 out of the backward graph entirely; the decoder conv
+            # below stays trainable
+            import jax
+
+            feat = jax.lax.stop_gradient(feat)
         feat = nn.Conv(
             self.model_n_out, (1, 1), dtype=self.dtype, name="decoder_conv"
         )(feat)
