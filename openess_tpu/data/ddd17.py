@@ -68,19 +68,35 @@ def extract_events(t_events, xyp, img_idx, index_map, fixed_duration, nr_events)
 
 @functools.lru_cache(maxsize=4)
 def _device_voxelizer(num_windows, num_bins, separate_pol, normalize):
+    """Device DDD17 voxelization. On TPU the scatter-free Pallas MXU kernel
+    builds the per-polarity grids; elsewhere the bit-exact scatter op."""
     import jax
     import jax.numpy as jnp
 
-    from openess_tpu.ops import voxel_grid_bilinear_t
+    from openess_tpu.ops import normalize_nonzero, voxel_grid_bilinear_t
     from openess_tpu.ops.resize import resize_bilinear
+
+    use_mxu = jax.default_backend() not in ("cpu",)
 
     @jax.jit
     def run(x, y, p, t, valid):  # [B, T, K]
         def one_window(args):
-            g = voxel_grid_bilinear_t(
-                *args, num_bins=num_bins, height=HEIGHT, width=WIDTH,
-                separate_pol=separate_pol, normalize=normalize,
-            )  # [bins(, x2), H, W]
+            if use_mxu:
+                from openess_tpu.ops.voxelize_mxu import (
+                    voxelize_windows_bilinear_t_mxu,
+                )
+
+                g = voxelize_windows_bilinear_t_mxu(
+                    *args, num_windows=1, num_bins=num_bins,
+                    height=HEIGHT, width=WIDTH, separate_pol=separate_pol,
+                )  # [Cout, H, W]
+                if normalize:
+                    g = normalize_nonzero(g, unbiased=False)
+            else:
+                g = voxel_grid_bilinear_t(
+                    *args, num_bins=num_bins, height=HEIGHT, width=WIDTH,
+                    separate_pol=separate_pol, normalize=normalize,
+                )  # [bins(, x2), H, W]
             g = jnp.moveaxis(g, 0, -1)  # [H, W, C]
             g = resize_bilinear(
                 g, out_h=HEIGHT, out_w=RESIZE_W, align_corners=True

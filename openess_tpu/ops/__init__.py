@@ -5,7 +5,10 @@ from openess_tpu.ops.voxelize import (
     voxel_grid_trilinear,
     voxelize_windows_trilinear,
 )
-from openess_tpu.ops.voxelize_mxu import voxelize_windows_trilinear_mxu
+from openess_tpu.ops.voxelize_mxu import (
+    voxelize_windows_bilinear_t_mxu,
+    voxelize_windows_trilinear_mxu,
+)
 
 __all__ = [
     "event_histogram",
@@ -13,5 +16,6 @@ __all__ = [
     "voxel_grid_bilinear_t",
     "voxel_grid_trilinear",
     "voxelize_windows_trilinear",
+    "voxelize_windows_bilinear_t_mxu",
     "voxelize_windows_trilinear_mxu",
 ]

@@ -155,3 +155,135 @@ def voxelize_windows_trilinear_mxu(
         interpret=interpret,
     )(xs[..., None], ys[..., None], tn[..., None], value[..., None])
     return grid.reshape(nw * C, H, W)
+
+
+def _kernel_bilinear_t(
+    x_ref, y_ref, tn_ref, pol_ref, out_ref, *, num_bins, height, width,
+    separate_pol,
+):
+    """DDD17 variant: bilinear in t only, integer (x, y), per-polarity
+    channel blocks (datasets/data_util.py:51-117 semantics)."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    ec = x_ref.shape[1]
+    x = x_ref[0, :, :]      # [Ec, 1] f32 (integer-valued)
+    y = y_ref[0, :, :]
+    tn = tn_ref[0, :, :]    # normalized time in [0, C); <0 marks padding
+    pol = pol_ref[0, :, :]  # +1 / -1; 0 marks padding
+
+    xi = x.astype(jnp.int32)
+    yi = y.astype(jnp.int32)
+    ti = tn.astype(jnp.int32)
+    dts = tn - ti.astype(jnp.float32)
+    ok = (tn >= 0.0) & (tn < num_bins) & (pol != 0.0)
+
+    # A: exact one-hot on the integer x column
+    colx = jax.lax.broadcasted_iota(jnp.int32, (ec, width), 1)
+    a = jnp.where(colx == xi, 1.0, 0.0)
+
+    cout = 2 * num_bins if separate_pol else num_bins
+    colc = jax.lax.broadcasted_iota(jnp.int32, (ec, cout * height), 1)
+    c2 = colc // height
+    yc = colc - c2 * height
+    tb = jnp.where(c2 < num_bins, c2, c2 - num_bins)
+    wt = jnp.where(
+        tb == ti, 1.0 - dts, jnp.where(tb == ti + 1, dts, 0.0)
+    )
+    sel = (yc == yi) & ok
+    if separate_pol:
+        sel = sel & ((c2 < num_bins) == (pol > 0.0))
+        b = jnp.where(sel, wt, 0.0)
+    else:
+        b = jnp.where(sel, pol * wt, 0.0)
+
+    out_ref[0] += jax.lax.dot_general(
+        b.astype(jnp.bfloat16),
+        a.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_windows", "num_bins", "height", "width", "separate_pol",
+        "interpret",
+    ),
+)
+def voxelize_windows_bilinear_t_mxu(
+    x: Array,
+    y: Array,
+    p: Array,
+    t: Array,
+    valid: Array,
+    *,
+    num_windows: int,
+    num_bins: int,
+    height: int,
+    width: int,
+    separate_pol: bool = True,
+    interpret: bool = False,
+) -> Array:
+    """MXU counterpart of ``voxel_grid_bilinear_t`` over equal windows.
+
+    Flat ``[num_windows * K]`` inputs -> ``[num_windows * Cout, H, W]``
+    float32 (Cout = 2*num_bins separate-pol pos-then-neg, else num_bins
+    signed) — the layout of ``jax.vmap(voxel_grid_bilinear_t)``.
+    """
+    nw, C, H, W = num_windows, num_bins, height, width
+    n = x.shape[0]
+    assert n % nw == 0, (n, nw)
+    k = n // nw
+
+    xs = x.astype(jnp.float32).reshape(nw, k)
+    ys = y.astype(jnp.float32).reshape(nw, k)
+    ts = t.astype(jnp.float32).reshape(nw, k)
+    vs = valid.reshape(nw, k)
+
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+    t_first = jnp.min(jnp.where(vs, ts, big), axis=1, keepdims=True)
+    t_last = jnp.max(jnp.where(vs, ts, -big), axis=1, keepdims=True)
+    dt = t_last - t_first
+    dt = jnp.where(dt == 0, 1.0, dt)
+    tn = (C - 1) * (ts - t_first) / dt
+
+    pol = p.reshape(nw, k).astype(jnp.float32)
+    pol = jnp.where(pol == 0, -1.0, pol)
+    # in-bounds + validity folded into the padding markers
+    inb = vs & (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
+    pol = jnp.where(inb, pol, 0.0)
+    tn = jnp.where(inb, tn, -4.0)
+    xs = jnp.where(inb, xs, -4.0)
+    ys = jnp.where(inb, ys, -4.0)
+
+    kp = ((k + EVENT_CHUNK - 1) // EVENT_CHUNK) * EVENT_CHUNK
+    if kp != k:
+        pad = ((0, 0), (0, kp - k))
+        xs = jnp.pad(xs, pad, constant_values=-4.0)
+        ys = jnp.pad(ys, pad, constant_values=-4.0)
+        tn = jnp.pad(tn, pad, constant_values=-4.0)
+        pol = jnp.pad(pol, pad)
+
+    cout = 2 * C if separate_pol else C
+    grid = pl.pallas_call(
+        functools.partial(
+            _kernel_bilinear_t, num_bins=C, height=H, width=W,
+            separate_pol=separate_pol,
+        ),
+        grid=(nw, kp // EVENT_CHUNK),
+        in_specs=[
+            pl.BlockSpec((1, EVENT_CHUNK, 1), lambda w, c: (w, c, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        out_specs=pl.BlockSpec((1, cout * H, W), lambda w, c: (w, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nw, cout * H, W), jnp.float32),
+        interpret=interpret,
+    )(xs[..., None], ys[..., None], tn[..., None], pol[..., None])
+    return grid.reshape(nw * cout, H, W)

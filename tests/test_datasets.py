@@ -268,3 +268,23 @@ def test_dsec_device_voxelizer_matches_host(dsec_root):
     dev = DSECDataset(s2, split="train").get_batch([0, 1])
     assert dev["event"].shape == host["event"].shape == (2, 2, 5, 440, 640)
     np.testing.assert_allclose(dev["event"], host["event"], atol=1e-4)
+
+
+def test_ddd17_device_voxelizer_matches_host(ddd17_root):
+    from openess_tpu.data.ddd17 import DDD17Dataset
+
+    kw = dict(
+        dataset_name_b="DDD17_events",
+        dataset_path_b=str(ddd17_root),
+        config_option="frame2voxel",
+        semseg_num_classes=6,
+        nr_events_data_b=2,
+        pl_sources="pl_fcclip_rgb",
+        superpixel_sources="",
+    )
+    host = DDD17Dataset(make_settings(**kw), split="train").get_batch([0, 1])
+    dev = DDD17Dataset(
+        make_settings(host_voxelize=False, **kw), split="train"
+    ).get_batch([0, 1])
+    assert dev["event"].shape == host["event"].shape
+    np.testing.assert_allclose(dev["event"], host["event"], atol=1e-3)

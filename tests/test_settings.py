@@ -181,3 +181,31 @@ def test_build_linear_probe_when_pretraining_disabled():
     mset = build_models(s, seed=0)
     assert set(mset.modules) == {"model_recon"}
     assert "linear_probe" in mset.params["model_recon"]
+
+
+def test_tpu_section_knobs(tmp_path):
+    import yaml
+
+    from openess_tpu.config.settings import load_settings
+
+    cfg = {
+        "dataset": {"name_b": "DSEC_events",
+                    "DSEC_events": {"shape": [440, 640]}},
+        "task": {"semseg_num_classes": 11},
+        "dir": {"log": str(tmp_path)},
+        "optim": {"batch_size_b": 4},
+        "clip": {"config_option": "frame2voxel", "if_pretraining": True},
+        "tpu": {"compute_dtype": "bfloat16", "mesh_data": 2, "mesh_model": 4,
+                "tp_mode": "spatial", "teacher_os": 8},
+    }
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    s = load_settings(str(p))
+    assert s.mesh_data == 2 and s.mesh_model == 4
+    assert s.tp_mode == "spatial" and s.teacher_os == 8
+
+    # defaults
+    cfg.pop("tpu")
+    p.write_text(yaml.safe_dump(cfg))
+    s = load_settings(str(p))
+    assert s.tp_mode == "channel" and s.teacher_os == 4

@@ -80,3 +80,33 @@ def test_mxu_dsec_shape(rng):
     t = np.sort(t.reshape(NW, -1), axis=1).reshape(-1)
     valid = np.ones(n, bool)
     _compare(x, y, p, t, valid, NW, C, H, W)
+
+
+@pytest.mark.parametrize("separate_pol", [True, False])
+def test_mxu_bilinear_t_matches_scatter(rng, separate_pol):
+    import jax
+
+    from openess_tpu.ops import voxel_grid_bilinear_t
+    from openess_tpu.ops.voxelize_mxu import voxelize_windows_bilinear_t_mxu
+
+    NW, C, H, W = 2, 4, 24, 136  # W deliberately not 128-aligned (DDD17: 346)
+    n = NW * 500
+    x = rng.integers(-2, W + 2, n).astype(np.float32)  # incl. out-of-bounds
+    y = rng.integers(-2, H + 2, n).astype(np.float32)
+    p = rng.integers(0, 2, n).astype(np.float32)
+    t = np.sort(rng.uniform(0, 1e6, n).reshape(NW, -1), axis=1).reshape(-1)
+    t = t.astype(np.float32)
+    valid = rng.random(n) < 0.9
+
+    def one(args):
+        return voxel_grid_bilinear_t(
+            *args, num_bins=C, height=H, width=W, separate_pol=separate_pol)
+    ref = np.asarray(jax.vmap(one)(
+        tuple(a.reshape(NW, -1) for a in (x, y, p, t, valid))
+    )).reshape(-1, H, W)
+    got = np.asarray(voxelize_windows_bilinear_t_mxu(
+        x, y, p, t, valid, num_windows=NW, num_bins=C, height=H, width=W,
+        separate_pol=separate_pol, interpret=True))
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max() + 1e-9
+    assert np.abs(got - ref).max() / scale < 5e-3
