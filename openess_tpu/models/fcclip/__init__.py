@@ -20,6 +20,10 @@ from openess_tpu.models.fcclip.transformer_decoder import (
     mask_pooling,
 )
 from openess_tpu.models.fcclip.convert import convert_fcclip_checkpoint
+from openess_tpu.models.fcclip.inference import (
+    instance_inference,
+    panoptic_inference,
+)
 
 __all__ = [
     "CLIPTextEncoder",
@@ -33,6 +37,8 @@ __all__ = [
     "VILD_PROMPT",
     "convert_fcclip_checkpoint",
     "fold_template_embeddings",
+    "instance_inference",
+    "panoptic_inference",
     "get_classification_logits",
     "mask_pooling",
     "prepare_class_names",

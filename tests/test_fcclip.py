@@ -132,6 +132,7 @@ def _install_shims():
         "detectron2.utils.comm",
         get_local_rank=lambda: 0,
         get_rank=lambda: 0,
+        get_world_size=lambda: 1,
         is_main_process=lambda: True,
     )
     _mod(
@@ -586,3 +587,160 @@ def test_fcclip_meta_smoke(rng):
     # semantic_inference sums softmax-weighted sigmoid masks over all queries
     # (fcclip.py:463-467): non-negative, bounded by the query count
     assert (s >= 0).all() and (s.sum(-1) <= 250.0).all()
+
+
+# ---------------------------------------------------------------------------
+# panoptic / instance inference oracles (reference methods bound to a stub)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_meta(ref_dec):
+    """Reference fcclip.py meta-arch module (methods used unbound)."""
+    tshim = types.SimpleNamespace
+
+    def fake_point(*a, **k):  # training-only criterion helpers, never called
+        raise NotImplementedError
+
+    _mod("detectron2.data", MetadataCatalog=tshim(get=lambda *a, **k: tshim()))
+    _mod("detectron2.projects")
+    _mod(
+        "detectron2.projects.point_rend",
+    )
+    _mod(
+        "detectron2.projects.point_rend.point_features",
+        point_sample=fake_point,
+        get_uncertain_point_coords_with_randomness=fake_point,
+    )
+    _mod("detectron2.modeling.postprocessing", sem_seg_postprocess=fake_point)
+
+    import torch as _torch
+
+    class _Boxes:
+        def __init__(self, t): self.tensor = t
+
+    class _Instances:
+        def __init__(self, image_size): self._size = image_size
+
+    _mod(
+        "detectron2.structures",
+        Boxes=_Boxes, ImageList=tshim, Instances=_Instances,
+        BitMasks=tshim,
+    )
+    _mod("detectron2.utils.memory", retry_if_cuda_oom=lambda f: f)
+    d2m = sys.modules["detectron2.modeling"]
+    d2m.META_ARCH_REGISTRY = _Registry("META_ARCH")
+    d2m.build_backbone = fake_point
+    d2m.build_sem_seg_head = fake_point
+    _mod("detectron2.modeling.backbone", Backbone=nn.Module)
+
+    _mod("torchvision", __version__="0.15.0")
+    base = f"{REF}/fc-clip/fcclip"
+    _pkg("reffc", base)
+    _pkg("reffc.utils", f"{base}/utils")
+    _load("reffc.utils.misc", f"{base}/utils/misc.py")
+    sys.modules["reffc.modeling"] = sys.modules["refmod"]
+    sys.modules["reffc.modeling.transformer_decoder"] = sys.modules[
+        "refmod.transformer_decoder"
+    ]
+    sys.modules["reffc.modeling.transformer_decoder.fcclip_transformer_decoder"] = (
+        ref_dec
+    )
+    _load("reffc.modeling.criterion", f"{BASE}/criterion.py")
+    _load("reffc.modeling.matcher", f"{BASE}/matcher.py")
+    return _load("reffc.fcclip", f"{base}/fcclip.py")
+
+
+def _panoptic_stub(K, thing_ids):
+    return types.SimpleNamespace(
+        test_metadata=types.SimpleNamespace(
+            stuff_classes=list(range(K)),
+            thing_dataset_id_to_contiguous_id={i: i for i in thing_ids},
+        ),
+        object_mask_threshold=0.3,
+        overlap_threshold=0.6,
+    )
+
+
+def test_panoptic_inference_parity(ref_meta, rng):
+    from openess_tpu.models.fcclip import panoptic_inference
+
+    Q, K, H, W = 12, 5, 20, 24
+    thing_ids = [1, 3]
+    mask_cls = rng.normal(0, 2.0, (Q, K + 1)).astype(np.float32)
+    mask_pred = rng.normal(0, 2.0, (Q, H, W)).astype(np.float32)
+
+    stub = _panoptic_stub(K, thing_ids)
+    ref_seg, ref_info = ref_meta.FCCLIP.panoptic_inference(
+        stub, torch.from_numpy(mask_cls), torch.from_numpy(mask_pred)
+    )
+    thing_mask = np.zeros(K, bool)
+    thing_mask[thing_ids] = True
+    out = panoptic_inference(
+        mask_cls, mask_pred, thing_mask,
+        object_mask_threshold=0.3, overlap_threshold=0.6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.panoptic_seg), ref_seg.numpy()
+    )
+    got_info = [
+        {"id": int(out.segment_id[i]), "isthing": bool(out.isthing[i]),
+         "category_id": int(out.category[i])}
+        for i in range(Q) if bool(out.info_valid[i])
+    ]
+    assert got_info == ref_info, (got_info, ref_info)
+
+
+def test_panoptic_inference_no_detections(rng):
+    from openess_tpu.models.fcclip import panoptic_inference
+
+    Q, K, H, W = 6, 4, 10, 12
+    mask_cls = np.zeros((Q, K + 1), np.float32)
+    mask_cls[:, -1] = 10.0  # everything void
+    mask_pred = rng.normal(size=(Q, H, W)).astype(np.float32)
+    out = panoptic_inference(mask_cls, mask_pred, np.zeros(K, bool))
+    assert np.asarray(out.panoptic_seg).max() == 0
+    assert not np.asarray(out.info_valid).any()
+
+
+def test_instance_inference_parity(ref_meta, rng):
+    from openess_tpu.models.fcclip import instance_inference
+
+    Q, K, H, W, topk = 10, 6, 14, 16, 8
+    thing_ids = [0, 2, 5]
+    mask_cls = rng.normal(0, 2.0, (Q, K + 1)).astype(np.float32)
+    mask_pred = rng.normal(0, 2.0, (Q, H, W)).astype(np.float32)
+
+    stub = types.SimpleNamespace(
+        panoptic_on=True,
+        test_metadata=types.SimpleNamespace(
+            stuff_classes=list(range(K)),
+            thing_classes=thing_ids,
+            thing_dataset_id_to_contiguous_id={i: i for i in thing_ids},
+        ),
+        num_queries=Q,
+        test_topk_per_image=topk,
+        device="cpu",
+    )
+    ref = ref_meta.FCCLIP.instance_inference(
+        stub, torch.from_numpy(mask_cls), torch.from_numpy(mask_pred)
+    )
+    thing_mask = np.zeros(K, bool)
+    thing_mask[thing_ids] = True
+    out = instance_inference(
+        mask_cls, mask_pred, topk=topk, thing_mask=thing_mask
+    )
+    v = np.asarray(out.valid)
+    # torch topk(sorted=False) order differs; compare as score-sorted sets
+    def rows(scores, classes, masks):
+        order = np.lexsort((classes, -scores))
+        return (np.round(scores[order], 5).tolist(),
+                classes[order].tolist(),
+                masks[order].astype(bool))
+
+    g = rows(np.asarray(out.scores)[v], np.asarray(out.pred_classes)[v],
+             np.asarray(out.pred_masks)[v])
+    r = rows(ref.scores.numpy(), ref.pred_classes.numpy(),
+             ref.pred_masks.numpy())
+    assert g[0] == r[0] and g[1] == r[1]
+    np.testing.assert_array_equal(g[2], r[2])
