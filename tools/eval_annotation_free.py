@@ -1,12 +1,18 @@
 #!/usr/bin/env python
-"""Annotation-free / zero-shot ESS evaluation (BASELINE.md rows 'MaskCLIP').
+"""Annotation-free / zero-shot ESS evaluation (BASELINE.md rows 'MaskCLIP'
+and 'FC-CLIP').
 
-Runs the frozen MaskCLIP dense teacher over the validation split's recon (or
-frame) images and reports confusion-matrix mIoU/Acc against ground truth —
-the reference's zero-shot baseline protocol (maskClipFeatureExtractor used
-as an annotation-free segmenter; README.md:376).
+Runs a frozen CLIP teacher over the validation split's recon (or frame)
+images and reports confusion-matrix mIoU/Acc against ground truth — the
+reference's zero-shot baseline protocol (README.md:376-377):
 
-Requires converted CLIP checkpoints and per-dataset text embeddings.
+- ``--teacher maskclip``: the dense MaskCLIP extractor
+  (maskClipFeatureExtractor as an annotation-free segmenter). Needs
+  converted CLIP checkpoints + per-dataset text embeddings in the yaml.
+- ``--teacher fcclip``: the in-repo FC-CLIP meta-arch over the dataset's
+  class vocabulary (36-class extended vocab max-pooled to the 11 DSEC
+  classes, mirroring the PL generation contract). Needs the released
+  checkpoint (--fcclip_ckpt) and the CLIP BPE merges file (--bpe_vocab).
 """
 import os
 import sys
@@ -23,12 +29,7 @@ from openess_tpu.data.loaders import build_datasets
 from openess_tpu.metrics import MetricsSemseg
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--settings_file", required=True)
-    ap.add_argument("--source", choices=["recon", "frame"], default="recon")
-    args = ap.parse_args()
-
+def build_maskclip_infer(s):
     import jax
     import jax.numpy as jnp
     import torch
@@ -36,7 +37,6 @@ def main():
     from openess_tpu.models.maskclip import MaskClipFeatureExtractor
     from openess_tpu.models.torch_convert import convert_maskclip
 
-    s = load_settings(args.settings_file, generate_log=False)
     assert s.maskclip_checkpoint and s.visual_projs_path and s.text_embeddings_path, (
         "annotation-free eval needs clip.maskclip_checkpoint, visual_projs_path "
         "and text_embeddings_path in the settings yaml"
@@ -53,6 +53,49 @@ def main():
     def infer(img):
         logits = model.apply({"params": params}, img, jnp.asarray(text))
         return jnp.argmax(logits, axis=-1)
+
+    return infer
+
+
+def build_fcclip_infer(s, fcclip_ckpt, bpe_vocab):
+    import importlib.util
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "gpl", os.path.join(here, "generate_pseudo_labels.py")
+    )
+    gpl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gpl)
+
+    class _Args:
+        pass
+
+    a = _Args()
+    a.fcclip_ckpt = fcclip_ckpt
+    a.bpe_vocab = bpe_vocab
+    a.num_classes = s.semseg_num_classes
+    return gpl.build_fcclip_infer(a)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--settings_file", required=True)
+    ap.add_argument("--source", choices=["recon", "frame"], default="recon")
+    ap.add_argument("--teacher", choices=["maskclip", "fcclip"],
+                    default="maskclip")
+    ap.add_argument("--fcclip_ckpt", help="released fcclip_cocopan.pth")
+    ap.add_argument("--bpe_vocab", help="CLIP bpe_simple_vocab_16e6.txt.gz")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    s = load_settings(args.settings_file, generate_log=False)
+    if args.teacher == "fcclip":
+        if not (args.fcclip_ckpt and args.bpe_vocab):
+            raise SystemExit("--teacher fcclip needs --fcclip_ckpt/--bpe_vocab")
+        infer = build_fcclip_infer(s, args.fcclip_ckpt, args.bpe_vocab)
+    else:
+        infer = build_maskclip_infer(s)
 
     _, val_ds = build_datasets(s)
     metrics = MetricsSemseg(
