@@ -105,3 +105,93 @@ def test_train_cli_recon2voxel_pretrain(dsec_tree, tmp_path):
 
     cks = glob.glob(str(tmp_path / "log" / "*" / "checkpoints" / "*"))
     assert cks, proc.stdout[-1000:]
+
+
+@pytest.mark.slow
+def test_train_cli_finetune_writes_visuals(dsec_tree, tmp_path):
+    """Finetune CLI run with validation: per-epoch qualitative dumps
+    (confusion plots, PCA latents, semseg panels) land in vis_dir."""
+    cfg = {
+        "dataset": {
+            "name_b": "DSEC_events",
+            "DSEC_events": {
+                "dataset_path": str(dsec_tree),
+                "shape": [440, 640],
+                "nr_events_data": 2,
+                "fixed_duration": False,
+                "delta_t_per_data": 50,
+                "require_paired_data_train": False,
+                "require_paired_data_val": False,
+                "nr_events_window": 500,
+                "event_representation": "voxel_grid",
+                "nr_temporal_bins": 5,
+                "separate_pol": False,
+                "normalize_event": False,
+            },
+        },
+        "task": {"semseg_num_classes": 11},
+        "dir": {"log": str(tmp_path / "log")},
+        "model": {
+            "model_name": "open_ess",
+            "skip_connect_encoder": True,
+            "skip_connect_task": True,
+            "skip_connect_task_type": "concat",
+            "data_augmentation_train": False,
+            "train_on_event_labels": False,
+            "unfrozen_e2vid": False,
+        },
+        "optim": {
+            "batch_size_b": 2,
+            "lr_voxel": 5e-4, "lr_recon": 5e-4, "lr_frame": 5e-4,
+            "lr_decay": 0.9, "num_epochs": 1, "val_epoch_step": 1,
+            "weight_task_loss": 1,
+            "task_loss": ["dice", "cross_entropy"],
+        },
+        "checkpoint": {
+            "save_checkpoint": False, "resume_training": False,
+            "load_pretrained_weights": False,
+            "resume_file": "", "pretrained_file": "",
+        },
+        "hardware": {"num_cpu_workers": 1},
+        "clip": {
+            "skip_ratio": 1,
+            "text_embeddings_path": "", "maskclip_checkpoint": "",
+            "visual_projs_path": "", "output_stride": 16,
+            "pre_trained_backbone": "",
+            "config_option": "recon2voxel",
+            "if_supervised_only": False,
+            "if_pretraining": False,
+            "superpixel_sources": "sp_sam_rgb",
+            "superpixel_size": 20,
+            "if_spatial_contrastive": False,
+            "image_weights": "dino",
+            "if_dense_clip_supervision": False,
+            "pl_sources": "pl_fcclip_rgb",
+            "if_sam_distillation": False,
+            "if_finetuning": True, "load_pretrained_weights": False,
+            "if_switchable_train": False, "pretrained_file": "",
+        },
+        "tpu": {"compute_dtype": "float32", "mesh_data": 1, "mesh_model": 1},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    import glob
+    import os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--settings_file", str(cfg_path)],
+        capture_output=True, text=True, timeout=3300, cwd="/root/repo", env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    vis = glob.glob(str(tmp_path / "log" / "*" / "visualization" / "*.png"))
+    names = {os.path.basename(v) for v in vis}
+    for expect in (
+        "confusion_e000.png", "confusion_norm_e000.png",
+        "semseg_pred_gt_e000.png", "event_preview_e000.png",
+        "pca_latent_e000.png",
+    ):
+        assert expect in names, names
