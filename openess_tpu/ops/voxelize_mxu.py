@@ -27,6 +27,15 @@ Padding events are folded in with value 0.
 Numerics: B and A are bf16 (MXU-native), accumulation f32 — relative error
 ~1e-2 on cell values, plenty below event-count noise for training; the XLA
 scatter path (ops/voxelize.py) remains the bit-exact reference.
+
+Tuning notes (v5e, 20x100k events): 25 Mev/s = ~78 TF/s effective through
+the dense formulation — compute-bound, not chunk-bound (Ec 512 with a
+raised scoped-vmem limit times identically to 256, so the extra VMEM buys
+nothing); a separable repeat/tile B build hits Mosaic's unsupported
+shape-cast on the element-repeat reshape; x-tile binning would cut matmul
+width 2.5x but needs an on-device event reorder whose scatter/sort cost
+cancels the gain. The remaining sparsity waste is inherent to scatter-free
+accumulation.
 """
 from __future__ import annotations
 
