@@ -119,6 +119,10 @@ class Settings:
     logger: Any = None
 
     def __post_init__(self):
+        assert self.tp_mode in ("channel", "spatial"), (
+            f"tpu.tp_mode must be 'channel' or 'spatial', got {self.tp_mode!r}"
+        )
+        assert self.teacher_os in (4, 8, 16), self.teacher_os
         self.sensor_b_name = self.dataset_name_b.split("_")[-1]
         self.semseg_class_names = CLASS_NAMES[self.semseg_num_classes]
         self.semseg_color_map = COLOR_MAPS[self.semseg_num_classes]

@@ -306,6 +306,7 @@ class DDD17Dataset:
             grids = event_histogram_windows_host(
                 x, y, p, counts, HEIGHT, WIDTH,
                 norm_mode=2 if s.normalize_event_b else 0,
+                n_threads=s.num_cpu_workers,
             ).transpose(0, 2, 3, 1).reshape(B, T, HEIGHT, WIDTH, C)
         else:
             C = bins * (2 if s.separate_pol_b else 1)

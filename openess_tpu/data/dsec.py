@@ -293,6 +293,7 @@ class DSECDataset:
                 grids = event_histogram_windows_host(
                     x, y, pp, counts, H, W,
                     norm_mode=1 if s.normalize_event_b else 0,
+                    n_threads=s.num_cpu_workers,
                 )
                 batch["event"] = (
                     grids[:, :, : H - 40].reshape(B, T, 2, H - 40, W)

@@ -20,6 +20,12 @@ from openess_tpu.models.fcclip.transformer_decoder import (
     mask_pooling,
 )
 from openess_tpu.models.fcclip.convert import convert_fcclip_checkpoint
+from openess_tpu.models.fcclip.labeler import (
+    USER_TO_DDD17,
+    USER_TO_DSEC,
+    build_fcclip_labeler,
+    maxpool_argmax,
+)
 from openess_tpu.models.fcclip.inference import (
     instance_inference,
     panoptic_inference,
@@ -37,7 +43,11 @@ __all__ = [
     "VILD_PROMPT",
     "convert_fcclip_checkpoint",
     "fold_template_embeddings",
+    "USER_TO_DDD17",
+    "USER_TO_DSEC",
+    "build_fcclip_labeler",
     "instance_inference",
+    "maxpool_argmax",
     "panoptic_inference",
     "get_classification_logits",
     "mask_pooling",

@@ -56,7 +56,8 @@ def panoptic_inference(
     prob_masks = jnp.where(
         keep[:, None, None], scores[:, None, None] * sig, -jnp.inf
     )
-    any_keep = jnp.any(keep)
+    # with no kept query, argmax over all -inf returns 0 but `keep[0]` is
+    # False, so `valid` below is all-False and the canvas stays empty
     mask_ids = jnp.argmax(prob_masks, axis=0)  # [H, W]
 
     q = mask_cls.shape[0]
@@ -69,7 +70,7 @@ def panoptic_inference(
     bin_area = jnp.sum(seg_mask, axis=(1, 2))
     ratio = mask_area / jnp.maximum(orig_area, 1)
     valid = (
-        keep & any_keep & (mask_area > 0) & (orig_area > 0) & (bin_area > 0)
+        keep & (mask_area > 0) & (orig_area > 0) & (bin_area > 0)
         & (ratio >= overlap_threshold)
     )
 

@@ -284,10 +284,13 @@ def event_histogram_host(x, y, p, height, width) -> np.ndarray:
 
 
 def event_histogram_windows_host(
-    x, y, p, counts, height, width, *, norm_mode=0
+    x, y, p, counts, height, width, *, norm_mode=0, n_threads=1
 ) -> np.ndarray:
     """Batched per-window histograms: [n_win, K] inputs -> planar
-    [n_win, 2, H, W] (the ``event_representation: histogram`` path)."""
+    [n_win, 2, H, W] (the ``event_representation: histogram`` path),
+    thread-parallel across windows (ctypes releases the GIL)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     counts = np.ascontiguousarray(counts, np.int64)
     n_win = counts.size
     K = np.asarray(x).size // max(n_win, 1)
@@ -295,10 +298,18 @@ def event_histogram_windows_host(
     ys = np.asarray(y, np.float32).reshape(n_win, K)
     ps = np.asarray(p, np.float32).reshape(n_win, K)
     out = np.zeros((n_win, 2, height, width), np.float32)
-    for w in range(n_win):
+
+    def one(w):
         n = int(counts[w])
         if n == 0:
-            continue
+            return
         g = event_histogram_host(xs[w, :n], ys[w, :n], ps[w, :n], height, width)
         out[w] = _normalize_nonzero_np(g, norm_mode)
+
+    if n_threads > 1 and n_win > 1:
+        with ThreadPoolExecutor(max_workers=min(n_threads, n_win)) as pool:
+            list(pool.map(one, range(n_win)))
+    else:
+        for w in range(n_win):
+            one(w)
     return out

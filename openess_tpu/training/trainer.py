@@ -206,8 +206,16 @@ class Trainer:
             viz.image_grid(panels, nrow=n),
         )
         if "event" in batch:
-            ev = np.asarray(batch["event"][:n])  # [n, T, H, W, bins]
-            evs = np.stack([viz.event_image(ev[i].sum(0)) for i in range(n)])
+            ev = np.asarray(batch["event"][:n])  # planar [n, T, C, H, W]
+            if self.s.event_representation_b == "histogram":
+                # channels are (neg, pos) counts; event_image's separate_pol
+                # path expects (pos..., neg...), so flip the channel order
+                evs = np.stack([
+                    viz.event_image(ev[i].sum(0)[::-1], separate_pol=True)
+                    for i in range(n)
+                ])
+            else:
+                evs = np.stack([viz.event_image(ev[i].sum(0)) for i in range(n)])
             viz.save_png(
                 os.path.join(d, f"event_preview_e{e:03d}.png"),
                 viz.image_grid(evs, nrow=n),

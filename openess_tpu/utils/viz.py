@@ -105,9 +105,11 @@ def pca_rgb(feats: np.ndarray) -> np.ndarray:
     b, h, w, c = f.shape
     flat = f.reshape(-1, c)
     flat = flat - flat.mean(axis=0, keepdims=True)
-    # pca_lowrank(q=3) == top-3 right singular vectors
-    _, _, vt = np.linalg.svd(flat, full_matrices=False)
-    proj = flat @ vt[:3].T  # [B*H*W, 3]
+    # top-3 right singular vectors via the [C, C] covariance eigensystem
+    # (a full SVD of the [B*H*W, C] pixel matrix would build an unused
+    # equally-huge U factor)
+    _, vecs = np.linalg.eigh(flat.T @ flat)
+    proj = flat @ vecs[:, ::-1][:, :3]  # [B*H*W, 3]
     lo, hi = proj.min(), proj.max()
     proj = (proj - lo) / max(hi - lo, 1e-12)
     return (proj.reshape(b, h, w, 3) * 255).astype(np.uint8)

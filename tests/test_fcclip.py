@@ -525,7 +525,7 @@ def test_pl_tool_maxpool_and_png_contract(tmp_path, monkeypatch, rng):
 
     # max-pool semantics vs a numpy re-derivation
     scores = rng.normal(size=(1, 4, 6, 36)).astype(np.float32)
-    got = np.asarray(gpl._maxpool_argmax(scores, gpl.USER_TO_DSEC, 11))
+    got = np.asarray(gpl.maxpool_argmax(scores, gpl.USER_TO_DSEC, 11))
     pooled = np.full((1, 4, 6, 11), -np.inf, np.float32)
     for u in range(36):
         c = gpl.USER_TO_DSEC[u]
@@ -744,3 +744,27 @@ def test_instance_inference_parity(ref_meta, rng):
              ref.pred_masks.numpy())
     assert g[0] == r[0] and g[1] == r[1]
     np.testing.assert_array_equal(g[2], r[2])
+
+
+def test_labeler_remap_tables():
+    """DSEC (36 -> 11) and DDD17 (34-of-36 -> 6) remap contracts
+    (generate_pl_dsec.py:104-116, generate_pl_ddd17.py:106-115)."""
+    from openess_tpu.models.fcclip import (
+        DSEC_USER_CLASSES, USER_TO_DDD17, USER_TO_DSEC, maxpool_argmax,
+    )
+
+    assert len(USER_TO_DSEC) == len(DSEC_USER_CLASSES) == 36
+    assert USER_TO_DSEC.max() == 10
+    # DDD17: only the first 34 vocabulary entries are remapped
+    assert len(USER_TO_DDD17) == 34 and USER_TO_DDD17.max() == 5
+
+    rng_l = np.random.default_rng(0)
+    scores = rng_l.normal(size=(1, 3, 4, 36)).astype(np.float32)
+    out = np.asarray(maxpool_argmax(scores, USER_TO_DDD17, 6))
+    assert out.max() <= 5
+    # channels 34/35 must not influence the result (reference drops them)
+    boosted = scores.copy()
+    boosted[..., 34:] = 100.0
+    np.testing.assert_array_equal(
+        out, np.asarray(maxpool_argmax(boosted, USER_TO_DDD17, 6))
+    )

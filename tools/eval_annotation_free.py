@@ -58,23 +58,16 @@ def build_maskclip_infer(s):
 
 
 def build_fcclip_infer(s, fcclip_ckpt, bpe_vocab):
-    import importlib.util
+    from openess_tpu.models.fcclip import build_fcclip_labeler
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    spec = importlib.util.spec_from_file_location(
-        "gpl", os.path.join(here, "generate_pseudo_labels.py")
-    )
-    gpl = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(gpl)
-
-    class _Args:
-        pass
-
-    a = _Args()
-    a.fcclip_ckpt = fcclip_ckpt
-    a.bpe_vocab = bpe_vocab
-    a.num_classes = s.semseg_num_classes
-    return gpl.build_fcclip_infer(a)
+    dataset = "ddd17" if "DDD17" in s.dataset_name_b.upper() else "dsec"
+    infer, num_classes = build_fcclip_labeler(fcclip_ckpt, bpe_vocab, dataset)
+    if num_classes != s.semseg_num_classes:
+        raise SystemExit(
+            f"settings semseg_num_classes={s.semseg_num_classes} does not "
+            f"match the {dataset} FC-CLIP remap ({num_classes} classes)"
+        )
+    return infer
 
 
 def main():

@@ -30,19 +30,10 @@ import glob
 import numpy as np
 from PIL import Image
 
-# extended-vocab index -> DSEC class id (generate_pl_dsec.py:104-116)
-USER_TO_DSEC = np.array(
-    [0,
-     1, 1,
-     2,
-     3, 3, 3, 3, 3,
-     4, 4, 4,
-     5,
-     6,
-     7, 7, 7, 7, 7,
-     8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8,
-     9,
-     10, 10, 10]
+from openess_tpu.models.fcclip.labeler import (  # noqa: E402
+    USER_TO_DSEC,
+    build_fcclip_labeler,
+    maxpool_argmax,
 )
 
 
@@ -70,65 +61,19 @@ def build_maskclip_infer(args):
     def infer(img):
         # img [1, H, W, 3] in [0, 1]
         logits = model.apply({"params": params}, img, jnp.asarray(text))
-        return _maxpool_argmax(logits, remap, args.num_classes)
+        return maxpool_argmax(logits, remap, args.num_classes)
 
     return infer
 
 
-def _maxpool_argmax(scores, remap, num_classes):
-    """Max-pool extended-vocab scores into dataset classes, then argmax."""
-    import jax.numpy as jnp
-
-    out = jnp.full(scores.shape[:-1] + (num_classes,), -jnp.inf, scores.dtype)
-    for user_idx in range(scores.shape[-1]):
-        c = int(remap[user_idx])
-        out = out.at[..., c].set(jnp.maximum(out[..., c], scores[..., user_idx]))
-    return jnp.argmax(out, axis=-1).astype(jnp.uint8)
-
-
 def build_fcclip_infer(args):
-    import jax
-    import jax.numpy as jnp
-
-    from openess_tpu.models.fcclip import (
-        DSEC_USER_CLASSES,
-        FCCLIP,
-        CLIPTextEncoder,
-        SimpleTokenizer,
-        convert_fcclip_checkpoint,
-        fold_template_embeddings,
-        prepare_class_names,
+    infer, num_classes = build_fcclip_labeler(
+        args.fcclip_ckpt, args.bpe_vocab, args.dataset
     )
-
-    params, text_params = convert_fcclip_checkpoint(args.fcclip_ckpt)
-    overlap, num_templates, prompts = prepare_class_names(DSEC_USER_CLASSES)
-    remap = USER_TO_DSEC[: len(num_templates)]
-
-    tok = SimpleTokenizer(args.bpe_vocab)
-    tokens = np.stack([tok(p) for p in prompts]).astype(np.int32)
-    encoder = CLIPTextEncoder(dtype=jnp.bfloat16)
-    embed = jax.jit(
-        lambda t: encoder.apply({"params": text_params}, t)
+    assert num_classes == args.num_classes, (
+        f"--num_classes {args.num_classes} does not match the {args.dataset} "
+        f"remap ({num_classes} classes)"
     )
-    chunks = [
-        np.asarray(embed(jnp.asarray(tokens[i : i + 256])))
-        for i in range(0, len(tokens), 256)
-    ]
-    tc = np.asarray(fold_template_embeddings(np.concatenate(chunks, 0)))
-
-    model = FCCLIP(dtype=jnp.bfloat16)
-    nt = tuple(num_templates)
-    ov = jnp.asarray(overlap)
-
-    @jax.jit
-    def infer(img):
-        # img [1, H, W, 3] in [0, 1]; FCCLIP expects [0, 255]
-        h, w = img.shape[1], img.shape[2]
-        ph, pw = (-h) % 32, (-w) % 32
-        x = jnp.pad(img * 255.0, ((0, 0), (0, ph), (0, pw), (0, 0)))
-        sem = model.apply({"params": params}, x, jnp.asarray(tc), nt, ov)
-        return _maxpool_argmax(sem[:, :h, :w], remap, args.num_classes)
-
     return infer
 
 
@@ -145,11 +90,14 @@ def main():
     ap.add_argument("--visual_projs")
     ap.add_argument("--text_embeddings",
                     help="extended-vocabulary CLIP text embeddings .pth/.npy")
-    ap.add_argument("--num_classes", type=int, default=11)
+    ap.add_argument("--num_classes", type=int, default=None,
+                    help="defaults to the dataset's class count (11/6)")
     ap.add_argument("--out_name", default="pl_fcclip_rgb")
     ap.add_argument("--shard", type=int, default=0)
     ap.add_argument("--num_shards", type=int, default=1)
     args = ap.parse_args()
+    if args.num_classes is None:
+        args.num_classes = {"dsec": 11, "ddd17": 6}[args.dataset]
 
     if args.teacher == "fcclip":
         if not (args.fcclip_ckpt and args.bpe_vocab):
