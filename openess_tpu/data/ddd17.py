@@ -76,7 +76,9 @@ def _device_voxelizer(num_windows, num_bins, separate_pol, normalize):
     from openess_tpu.ops import normalize_nonzero, voxel_grid_bilinear_t
     from openess_tpu.ops.resize import resize_bilinear
 
-    use_mxu = jax.default_backend() not in ("cpu",)
+    # the Pallas kernel uses TPU-specific memory spaces; other accelerators
+    # fall back to the portable XLA scatter path
+    use_mxu = jax.default_backend() == "tpu"
 
     @jax.jit
     def run(x, y, p, t, valid):  # [B, T, K]

@@ -51,7 +51,9 @@ def _device_voxelizer(num_windows, num_bins, height, width, normalize,
         voxelize_windows_trilinear_mxu,
     )
 
-    use_mxu = jax.default_backend() not in ("cpu",)
+    # the Pallas kernel uses TPU-specific memory spaces; other accelerators
+    # fall back to the portable XLA scatter path
+    use_mxu = jax.default_backend() == "tpu"
 
     @jax.jit
     def run(x, y, p, t, valid):  # each [B, T*K]

@@ -22,7 +22,13 @@ class PrefetchLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool,
                  rng: Optional[np.random.Generator] = None,
                  put_fn=None, prefetch: int = 2, drop_last: bool = True,
-                 num_workers: int = 1):
+                 pad_last: bool = False, num_workers: int = 1):
+        """``drop_last=False, pad_last=True`` is the TPU-shaped equivalent of
+        the reference's validation ``drop_last=False`` (base_trainer_ov.py:
+        180,272): the final partial batch is padded to ``batch_size`` by
+        repeating its last sample — static shapes, no recompile — and every
+        batch carries a per-sample bool ``valid`` mask for the consumer to
+        exclude the padding from metrics."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -30,6 +36,7 @@ class PrefetchLoader:
         self.put_fn = put_fn or (lambda b: b)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.pad_last = pad_last
         self.num_workers = max(1, int(num_workers))
 
     def __len__(self):
@@ -48,6 +55,14 @@ class PrefetchLoader:
         ]
 
         def assemble(idx):
+            if self.pad_last:
+                pad = self.batch_size - len(idx)
+                valid = np.arange(self.batch_size) < len(idx)
+                if pad:
+                    idx = np.concatenate([idx, np.full(pad, idx[-1])])
+                batch = self.dataset.get_batch(idx)
+                batch["valid"] = valid
+                return self.put_fn(batch)
             return self.put_fn(self.dataset.get_batch(idx))
 
         # in-flight window: num_workers batches being assembled plus

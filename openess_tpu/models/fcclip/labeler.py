@@ -100,10 +100,17 @@ def build_fcclip_labeler(fcclip_ckpt: str, bpe_vocab: str, dataset: str):
 
     @jax.jit
     def infer(img):
-        # img [B, H, W, 3] in [0, 1]; FCCLIP expects [0, 255]
+        # img [B, H, W, 3] in [0, 1]; FCCLIP expects [0, 255]. The reference
+        # pads AFTER pixel-mean/std normalization (detectron2 ImageList zero
+        # pad), i.e. effectively with the pixel mean in raw space — match
+        # that so border logits agree for non-multiple-of-32 inputs.
+        from openess_tpu.models.fcclip.meta import PIXEL_MEAN
+
         h, w = img.shape[1], img.shape[2]
         ph, pw = (-h) % 32, (-w) % 32
-        x = jnp.pad(img * 255.0, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        x = img * 255.0
+        mean = jnp.asarray(PIXEL_MEAN, x.dtype)
+        x = jnp.pad(x - mean, ((0, 0), (0, ph), (0, pw), (0, 0))) + mean
         sem = model.apply({"params": params}, x, jnp.asarray(tc), nt, ov)
         return maxpool_argmax(sem[:, :h, :w], remap, num_classes)
 

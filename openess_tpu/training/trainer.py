@@ -114,6 +114,10 @@ class Trainer:
             shuffle=train, rng=self.np_rng,
             put_fn=lambda b: shard_batch(b, self.mesh, spatial=spatial),
             num_workers=self.s.num_cpu_workers,
+            # reference validates with drop_last=False (base_trainer_ov.py:
+            # 180,272); the padded final batch keeps shapes static and the
+            # `valid` mask keeps the metrics exact
+            drop_last=train, pad_last=not train,
         )
         yield from loader
 
@@ -156,7 +160,13 @@ class Trainer:
             pred, _ = self.eval_step(
                 self.state.params, self.state.batch_stats, batch
             )
-            self.metrics.update_batch(np.asarray(pred), np.asarray(batch["label"]))
+            label = np.asarray(batch["label"])
+            if "valid" in batch:  # mask padded samples out of the confusion
+                valid = np.asarray(batch["valid"]).astype(bool)
+                label = np.where(
+                    valid[:, None, None], label, self.s.semseg_ignore_label
+                )
+            self.metrics.update_batch(np.asarray(pred), label)
         summary = self.metrics.get_metrics_summary()
         log.info(
             "epoch %d val: mIoU %.2f acc %.2f",
@@ -215,7 +225,14 @@ class Trainer:
                     for i in range(n)
                 ])
             else:
-                evs = np.stack([viz.event_image(ev[i].sum(0)) for i in range(n)])
+                # separate-pol voxel grids are (pos bins..., neg bins...) with
+                # all-nonnegative values — render each half in its own color
+                evs = np.stack([
+                    viz.event_image(
+                        ev[i].sum(0), separate_pol=self.s.separate_pol_b
+                    )
+                    for i in range(n)
+                ])
             viz.save_png(
                 os.path.join(d, f"event_preview_e{e:03d}.png"),
                 viz.image_grid(evs, nrow=n),

@@ -31,7 +31,7 @@ import numpy as np
 from PIL import Image
 
 from openess_tpu.models.fcclip.labeler import (  # noqa: E402
-    USER_TO_DSEC,
+    DATASET_REMAP,
     build_fcclip_labeler,
     maxpool_argmax,
 )
@@ -50,7 +50,7 @@ def build_maskclip_infer(args):
     else:
         text = torch.load(args.text_embeddings, map_location="cpu").float().numpy()
     vocab = text.shape[0]
-    remap = USER_TO_DSEC[:vocab]
+    remap = DATASET_REMAP[args.dataset][0][:vocab]
 
     backbone = torch.load(args.clip_ckpt, map_location="cpu")
     projs = torch.load(args.visual_projs, map_location="cpu")
