@@ -375,6 +375,131 @@ void time_indices_offsets(
   *idx_end = std::lower_bound(t, t + n, t_end) - t;
 }
 
+// Sorted-chunk wire packer for the Pallas sorted-chunk voxelizer
+// (openess_tpu/ops/voxelize_chunked.py — see its module docstring for the
+// format). Per window: quantize coords to 1/32-px int16 fixed point,
+// counting-sort kept events by 16-row image tile, and cut the sorted stream
+// into chunks of <= `chunk` events that each touch exactly one tile.
+// Bit-identical twin of the numpy reference `chunk_events_window`
+// (round-half-even quantization via nearbyint; trunc-toward-zero row from
+// integer division). Windows are distributed dynamically across threads.
+//
+// In/out layout: x/y/p as float, t as double [n_win, K] with `valid` uint8;
+// outputs xq/yq int16, pq uint8, t_rel float [n_win, nbc, chunk] (caller
+// pre-zeroed), counts/tile_r0 int32 [n_win, nbc], t_range float [n_win].
+void chunk_events_windows(
+    const float* x, const float* y, const float* p, const double* t,
+    const uint8_t* valid, int64_t n_win, int64_t K,
+    int H, int W, int chunk, int nbc, int integer_coords,
+    int16_t* xq_o, int16_t* yq_o, uint8_t* pq_o, float* tr_o,
+    int32_t* counts_o, int32_t* r0_o, float* trange_o, int n_threads) {
+  const int kTile = 16, kFp = 32;
+  const int n_tiles = (H + kTile - 1) / kTile;
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  n_threads = (int)std::min<int64_t>(std::max(n_threads, 1), n_win);
+
+  std::atomic<int64_t> next(0);
+  auto work = [&]() {
+    std::vector<int32_t> xq(K), yq(K), tile(K);
+    std::vector<int64_t> kept(K);
+    std::vector<int64_t> tile_cnt(n_tiles), tile_pos(n_tiles);
+    std::vector<int32_t> tile_first_chunk(n_tiles + 1);
+    for (;;) {
+      const int64_t w = next.fetch_add(1);
+      if (w >= n_win) return;
+      const float* xw = x + w * K;
+      const float* yw = y + w * K;
+      const float* pw = p + w * K;
+      const double* tw = t + w * K;
+      const uint8_t* vw = valid + w * K;
+      int16_t* xqw = xq_o + w * (int64_t)nbc * chunk;
+      int16_t* yqw = yq_o + w * (int64_t)nbc * chunk;
+      uint8_t* pqw = pq_o + w * (int64_t)nbc * chunk;
+      float* trw = tr_o + w * (int64_t)nbc * chunk;
+      int32_t* cntw = counts_o + w * nbc;
+      int32_t* r0w = r0_o + w * nbc;
+
+      // pass 1: t range over valid, quantize, keep-mask, tile counts
+      double t_first = 0, t_last = 0;
+      bool any_valid = false;
+      std::fill(tile_cnt.begin(), tile_cnt.end(), 0);
+      int64_t n_kept = 0;
+      for (int64_t i = 0; i < K; ++i) {
+        if (!vw[i]) continue;
+        const double ti = tw[i];
+        if (!any_valid) { t_first = t_last = ti; any_valid = true; }
+        else { t_first = std::min(t_first, ti); t_last = std::max(t_last, ti); }
+        double qx = std::nearbyint((double)xw[i] * kFp);
+        double qy = std::nearbyint((double)yw[i] * kFp);
+        qx = std::min(std::max(qx, -32768.0), 32767.0);
+        qy = std::min(std::max(qy, -32768.0), 32767.0);
+        const int32_t xi = (int32_t)qx, yi = (int32_t)qy;
+        bool keep;
+        if (integer_coords) {
+          keep = xi >= 0 && xi < W * kFp && yi >= 0 && yi < H * kFp;
+        } else {
+          keep = xi > -2 * kFp && xi < W * kFp && yi > -2 * kFp &&
+                 yi < H * kFp;
+        }
+        if (!keep) continue;
+        const int32_t y0 = yi / kFp;  // trunc toward zero (torch .int())
+        const int32_t ti_le = std::min(std::max(y0, 0), H - 1) / kTile;
+        xq[n_kept] = xi;
+        yq[n_kept] = yi;
+        tile[n_kept] = ti_le;
+        kept[n_kept] = i;
+        ++tile_cnt[ti_le];
+        ++n_kept;
+      }
+      trange_o[w] = any_valid
+          ? (float)std::max(t_last - t_first, 1.0 * (t_last == t_first))
+          : 1.f;
+      if (trange_o[w] <= 0.f) trange_o[w] = 1.f;
+      for (int c = 0; c < nbc; ++c) { cntw[c] = 0; r0w[c] = 0; }
+      if (n_kept == 0) continue;
+
+      // chunk layout: tile ti occupies ceil(cnt/chunk) consecutive chunks
+      int32_t cchunk = 0;
+      int64_t run = 0;
+      for (int ti_le = 0; ti_le < n_tiles; ++ti_le) {
+        tile_first_chunk[ti_le] = cchunk;
+        tile_pos[ti_le] = 0;
+        const int64_t cnt = tile_cnt[ti_le];
+        if (cnt == 0) continue;
+        const int32_t nc = (int32_t)((cnt + chunk - 1) / chunk);
+        for (int32_t c = 0; c < nc; ++c) {
+          const int64_t in_chunk =
+              std::min<int64_t>(chunk, cnt - (int64_t)c * chunk);
+          cntw[cchunk + c] = (int32_t)in_chunk;
+          r0w[cchunk + c] = ti_le * kTile;
+        }
+        cchunk += nc;
+        run += cnt;
+      }
+      // padding chunks repeat the last tile's row offset
+      for (int32_t c = cchunk; c < nbc; ++c) r0w[c] = r0w[cchunk - 1];
+
+      // pass 2: place (stable within tile — input is time-sorted)
+      for (int64_t e = 0; e < n_kept; ++e) {
+        const int32_t ti_le = tile[e];
+        const int64_t pos = tile_pos[ti_le]++;
+        const int64_t slot =
+            ((int64_t)tile_first_chunk[ti_le] + pos / chunk) * chunk +
+            pos % chunk;
+        xqw[slot] = (int16_t)xq[e];
+        yqw[slot] = (int16_t)yq[e];
+        const int64_t i = kept[e];
+        pqw[slot] = (uint8_t)(pw[i] > 0.f ? 1 : 0);
+        trw[slot] = (float)(tw[i] - t_first);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int ti = 1; ti < n_threads; ++ti) threads.emplace_back(work);
+  work();
+  for (auto& th : threads) th.join();
+}
+
 // Nonzero-mean/std normalization in place (biased, EventPreprocessor /
 // data_util.py:38-48 semantics).
 void normalize_nonzero_inplace(float* grid, int64_t n) {

@@ -52,6 +52,15 @@ def _try_load():
         fp, fp, fp, fp, ip, i64, i64, i32, i32, i32, i32, i32, fp, i32, i32
     ]
     lib.event_histogram.argtypes = [ip, ip, fp, i64, i32, i32, fp, fp]
+    dp = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.chunk_events_windows.argtypes = [
+        fp, fp, fp, dp, u8p, i64, i64,
+        i32, i32, i32, i32, i32,
+        i16p, i16p, u8p, fp, i32p, i32p, fp, i32,
+    ]
     lib.time_indices_offsets.argtypes = [
         ip, i64, i64, i64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -258,6 +267,55 @@ def voxelize_bilinear_t_host(
     pos = pos.reshape(C, H, W)
     neg = neg.reshape(C, H, W)
     return np.concatenate([pos, neg], 0) if separate_pol else pos - neg
+
+
+def chunk_events_windows_host(
+    x, y, p, t, valid, *, height, width, chunk=None, integer_coords=False,
+    n_threads=1,
+):
+    """Batched sorted-chunk wire packer (one native call, thread-parallel
+    across windows) for the Pallas sorted-chunk voxelizer. ``[n_win, K]``
+    inputs (t float64; any monotonic unit) -> the chunked wire format of
+    ``ops/voxelize_chunked.py``: ``(xq, yq, pq, t_rel, counts, tile_r0,
+    t_range)``. Falls back to the numpy reference chunker bit-identically.
+    """
+    from openess_tpu.ops.voxelize_chunked import (
+        CHUNK,
+        chunk_events_batch,
+        num_chunks,
+    )
+
+    if chunk is None:
+        chunk = CHUNK
+    xs = np.ascontiguousarray(x, np.float32)
+    n_win, K = xs.shape
+    lib = _try_load()
+    if lib is None:
+        return chunk_events_batch(
+            xs, np.asarray(y, np.float32), np.asarray(p, np.float32),
+            np.asarray(t, np.float64), np.asarray(valid, bool),
+            height=height, width=width, chunk=chunk,
+            integer_coords=integer_coords,
+        )
+    nbc = num_chunks(K, height, chunk)
+    xq = np.zeros((n_win, nbc, chunk), np.int16)
+    yq = np.zeros((n_win, nbc, chunk), np.int16)
+    pq = np.zeros((n_win, nbc, chunk), np.uint8)
+    tr = np.zeros((n_win, nbc, chunk), np.float32)
+    counts = np.zeros((n_win, nbc), np.int32)
+    r0s = np.zeros((n_win, nbc), np.int32)
+    t_range = np.zeros((n_win,), np.float32)
+    lib.chunk_events_windows(
+        xs.reshape(-1),
+        np.ascontiguousarray(y, np.float32).reshape(-1),
+        np.ascontiguousarray(p, np.float32).reshape(-1),
+        np.ascontiguousarray(t, np.float64).reshape(-1),
+        np.ascontiguousarray(valid, np.uint8).reshape(-1),
+        n_win, K, height, width, chunk, nbc, int(integer_coords),
+        xq.reshape(-1), yq.reshape(-1), pq.reshape(-1), tr.reshape(-1),
+        counts.reshape(-1), r0s.reshape(-1), t_range, n_threads,
+    )
+    return xq, yq, pq, tr, counts, r0s, t_range
 
 
 def event_histogram_host(x, y, p, height, width) -> np.ndarray:

@@ -151,3 +151,33 @@ def test_bilinear_t_windows_chw_layout_matches_nhwc(rng, separate_pol):
     cout = 2 * C if separate_pol else C
     assert chw.shape == (n_win, cout, H, W)
     np.testing.assert_array_equal(chw, nhwc.transpose(0, 3, 1, 2))
+
+
+@pytest.mark.parametrize("integer_coords", [False, True])
+@pytest.mark.parametrize("n_threads", [1, 3])
+def test_chunk_events_windows_matches_numpy(rng, integer_coords, n_threads):
+    """The C++ sorted-chunk wire packer must be bit-identical to the numpy
+    reference chunker (quantization, keep-masks, tile sort, chunk cuts)."""
+    from openess_tpu.native import chunk_events_windows_host
+    from openess_tpu.ops.voxelize_chunked import chunk_events_batch
+
+    NW, K, H, W = 3, 5000, 72, 130
+    x = rng.uniform(-1.5, W + 0.5, (NW, K)).astype(np.float32)
+    y = rng.uniform(-1.5, H + 0.5, (NW, K)).astype(np.float32)
+    p = rng.integers(0, 2, (NW, K)).astype(np.float32)
+    t = np.sort(rng.uniform(0, 1e6, (NW, K)), axis=1)
+    valid = rng.random((NW, K)) < 0.9
+    valid[1] = False  # empty window
+
+    got = chunk_events_windows_host(
+        x, y, p, t, valid, height=H, width=W, chunk=256,
+        integer_coords=integer_coords, n_threads=n_threads,
+    )
+    ref = chunk_events_batch(
+        x, y, p, t, valid, height=H, width=W, chunk=256,
+        integer_coords=integer_coords,
+    )
+    names = ("xq", "yq", "pq", "t_rel", "counts", "tile_r0", "t_range")
+    for name, u, v in zip(names, got, ref):
+        assert u.shape == v.shape and u.dtype == v.dtype, name
+        np.testing.assert_array_equal(u, v, err_msg=name)

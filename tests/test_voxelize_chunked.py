@@ -1,0 +1,180 @@
+"""Sorted-chunk voxelizer (ops/voxelize_chunked.py) vs the bit-exact XLA
+scatter path, on identical dequantized inputs (interpret mode on CPU; the
+compiled kernel runs on real TPU via bench.py and the verify drives).
+"""
+import numpy as np
+import pytest
+
+from openess_tpu.ops import voxel_grid_bilinear_t, voxelize_windows_trilinear
+from openess_tpu.ops.voxelize_chunked import (
+    CHUNK,
+    FIXED_POINT,
+    chunk_events_batch,
+    chunk_events_window,
+    num_chunks,
+    voxelize_chunked_bilinear_t,
+    voxelize_chunked_trilinear,
+)
+
+
+def _events(rng, nw, k, H, W, lo=-1.5):
+    x = rng.uniform(lo, W + 0.5, (nw, k)).astype(np.float32)
+    y = rng.uniform(lo, H + 0.5, (nw, k)).astype(np.float32)
+    p = rng.integers(0, 2, (nw, k)).astype(np.float32)
+    t = np.sort(rng.uniform(0, 1e6, (nw, k)), axis=1).astype(np.float32)
+    valid = rng.random((nw, k)) < 0.9
+    return x, y, p, t, valid
+
+
+def _dequant(q):
+    return q.astype(np.float32) / FIXED_POINT
+
+
+def test_chunker_invariants(rng):
+    H, W, k = 48, 96, 3000
+    x, y, p, t, valid = _events(rng, 1, k, H, W)
+    chunk = 256
+    xq, yq, pq, tr, counts, r0s, t_range = chunk_events_window(
+        x[0], y[0], p[0], t[0], valid[0], height=H, width=W, chunk=chunk
+    )
+    nbc = num_chunks(k, H, chunk)
+    assert xq.shape == (nbc, chunk)
+    assert counts.sum() <= valid[0].sum()
+    # every chunk touches exactly one 16-row tile; r0 monotone
+    for ci in range(nbc):
+        n = counts[ci]
+        if n == 0:
+            continue
+        yd = _dequant(yq[ci, :n])
+        y0 = np.trunc(yd).astype(int)
+        key = np.clip(y0, 0, H - 1)
+        assert (key // 16 == r0s[ci] // 16).all()
+        assert (y0 >= r0s[ci] - 1).all() and (y0 <= r0s[ci] + 15).all()
+    assert (np.diff(r0s) >= 0).all()
+    # no event lost: total kept events = in-frame-corner events
+    yq_all = np.round(y[0].astype(np.float64) * FIXED_POINT)
+    xq_all = np.round(x[0].astype(np.float64) * FIXED_POINT)
+    expect = (
+        valid[0]
+        & (yq_all > -2 * FIXED_POINT) & (yq_all < H * FIXED_POINT)
+        & (xq_all > -2 * FIXED_POINT) & (xq_all < W * FIXED_POINT)
+    ).sum()
+    assert counts.sum() == expect
+
+
+def _compare_tri(x, y, p, t, valid, C, H, W, chunk, rtol=5e-3):
+    nw = x.shape[0]
+    xq, yq, pq, tr, counts, r0s, t_range = chunk_events_batch(
+        x, y, p, t, valid, height=H, width=W, chunk=chunk
+    )
+    got = np.asarray(
+        voxelize_chunked_trilinear(
+            xq, yq, pq, tr, counts, r0s, t_range,
+            num_bins=C, height=H, width=W, interpret=True,
+        )
+    )
+    # reference on the SAME dequantized coords (and the chunker's exact
+    # keep-semantics are corner-equivalent to the scatter masks)
+    ref = np.stack([
+        np.asarray(
+            voxelize_windows_trilinear(
+                np.round(x[w].astype(np.float64) * FIXED_POINT).astype(
+                    np.float32) / FIXED_POINT,
+                np.round(y[w].astype(np.float64) * FIXED_POINT).astype(
+                    np.float32) / FIXED_POINT,
+                p[w], t[w], valid[w],
+                num_windows=1, num_bins=C, height=H, width=W,
+            )
+        )
+        for w in range(nw)
+    ]).reshape(nw, C, H, W)
+    scale = np.abs(ref).max() + 1e-9
+    err = np.abs(got - ref).max() / scale
+    assert err < rtol, err
+    return got
+
+
+def test_chunked_trilinear_matches_scatter(rng):
+    C, H, W = 5, 48, 96
+    x, y, p, t, valid = _events(rng, 2, 4000, H, W)
+    _compare_tri(x, y, p, t, valid, C, H, W, chunk=256)
+
+
+def test_chunked_trilinear_nondivisible_dims(rng):
+    C, H, W = 3, 37, 130  # H % 16 != 0, W % 128 != 0
+    x, y, p, t, valid = _events(rng, 2, 1500, H, W)
+    _compare_tri(x, y, p, t, valid, C, H, W, chunk=128)
+
+
+def test_chunked_trilinear_dense_single_tile(rng):
+    """All events in one tile: exercises the capacity-cut path."""
+    C, H, W = 5, 64, 128
+    nw, k = 1, 2000
+    x = rng.uniform(0, W - 1, (nw, k)).astype(np.float32)
+    y = rng.uniform(17, 30, (nw, k)).astype(np.float32)  # tile 1 only
+    p = rng.integers(0, 2, (nw, k)).astype(np.float32)
+    t = np.sort(rng.uniform(0, 1e5, (nw, k)), axis=1).astype(np.float32)
+    valid = np.ones((nw, k), bool)
+    got = _compare_tri(x, y, p, t, valid, C, H, W, chunk=256)
+    assert np.abs(got[0, :, :16]).max() == 0  # nothing outside the tile rows
+    assert np.abs(got[0, :, 32:]).max() == 0
+
+
+def test_chunked_trilinear_empty_window(rng):
+    C, H, W = 2, 32, 128
+    x, y, p, t, valid = _events(rng, 2, 500, H, W)
+    valid[0] = False
+    got = _compare_tri(x, y, p, t, valid, C, H, W, chunk=128)
+    assert np.abs(got[0]).max() == 0
+
+
+def test_chunked_bilinear_t_matches_scatter(rng):
+    C, H, W = 5, 40, 130
+    nw, k = 2, 3000
+    x = rng.integers(-3, W + 3, (nw, k)).astype(np.float32)
+    y = rng.integers(-3, H + 3, (nw, k)).astype(np.float32)
+    p = rng.integers(0, 2, (nw, k)).astype(np.float32)
+    t = np.sort(rng.uniform(0, 1e6, (nw, k)), axis=1).astype(np.float32)
+    valid = rng.random((nw, k)) < 0.9
+
+    for sep in (True, False):
+        xq, yq, pq, tr, counts, r0s, t_range = chunk_events_batch(
+            x, y, p, t, valid, height=H, width=W, chunk=256,
+            integer_coords=True,
+        )
+        got = np.asarray(
+            voxelize_chunked_bilinear_t(
+                xq, yq, pq, tr, counts, r0s, t_range,
+                num_bins=C, height=H, width=W, separate_pol=sep,
+                interpret=True,
+            )
+        )
+        ref = np.stack([
+            np.asarray(
+                voxel_grid_bilinear_t(
+                    x[w], y[w], p[w], t[w], valid[w],
+                    num_bins=C, height=H, width=W, separate_pol=sep,
+                )
+            )
+            for w in range(nw)
+        ])
+        scale = np.abs(ref).max() + 1e-9
+        err = np.abs(got - ref).max() / scale
+        assert err < 5e-3, (sep, err)
+
+
+def test_chunked_trilinear_normalize(rng):
+    C, H, W = 3, 32, 128
+    x, y, p, t, valid = _events(rng, 1, 1000, H, W)
+    xq, yq, pq, tr, counts, r0s, t_range = chunk_events_batch(
+        x, y, p, t, valid, height=H, width=W, chunk=256
+    )
+    got = np.asarray(
+        voxelize_chunked_trilinear(
+            xq, yq, pq, tr, counts, r0s, t_range,
+            num_bins=C, height=H, width=W, normalize=True, interpret=True,
+        )
+    )[0]
+    nz = got[got != 0]
+    assert abs(nz.mean()) < 1e-2
+    assert abs(nz.std() - 1.0) < 5e-2
