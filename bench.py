@@ -14,13 +14,16 @@ Extra context metrics ride in the same JSON object:
    optimizer) at B8 440x640, device time.
  - train_flops_per_step / mfu_pct: XLA cost-analysis FLOPs vs the chip's
    bf16 peak.
- - host_assembly_ms_b8 / host_voxelize_mev_s: the batched multithreaded
-   native windows-voxelizer assembling the same B8 batch on host.
+ - host_assembly_ms_b8: per-batch host event work in the production wire
+   format (raw_events: the C++ sorted-chunk packer; grid: the full native
+   voxelizer — both reported separately as host_chunk_pack_ms_b8 /
+   host_grid_voxelize_ms_b8).
  - pipeline_step_ms_b8_measured / _modeled_local_host: steady-state step rate
    with host assembly + H2D transfer overlapped against the device step
    (PrefetchLoader pattern) — the honest end-to-end training rate.
- - h2d_put_ms_b8: device_put cost of the 1.1 GB event batch (through the
-   axon relay this is a tunnel artifact; on a real TPU host it rides DMA).
+ - h2d_put_ms_b8: device_put cost of the event batch (compact ~190 MB wire
+   under raw_events vs ~900 MB of grids; through the axon relay this is a
+   tunnel artifact, on a real TPU host it rides DMA).
 
 Timing note: device completion is forced via scalar fetch (float(...)) —
 block_until_ready() does not block through the axon TPU relay.
@@ -127,6 +130,40 @@ def bench_voxelize(rng):
     except Exception:
         pass
 
+    # --- sorted-chunk Pallas voxelizer (the round-3 production kernel) at
+    # the full B8 batch shape (fixed dispatch latency amortizes over 160
+    # windows exactly as in the train step) ---
+    chunked_rate = 0.0
+    try:
+        from openess_tpu.native import chunk_events_windows_host
+        from openess_tpu.ops.voxelize_chunked import voxelize_chunked_trilinear
+
+        NWB = 160  # B8 x T20
+        xb = rng.uniform(0, W - 1, (NWB, K)).astype(np.float32)
+        yb = rng.uniform(0, H - 1, (NWB, K)).astype(np.float32)
+        pb = rng.integers(0, 2, (NWB, K)).astype(np.float32)
+        tb = np.sort(rng.uniform(0, 5e4, (NWB, K)), axis=1)
+        vb = np.ones((NWB, K), bool)
+        wire = chunk_events_windows_host(
+            xb, yb, pb, tb, vb, height=H, width=W, n_threads=0
+        )
+        dev = [jax.device_put(a) for a in wire]
+
+        @jax.jit
+        def vox_chunked(*a):
+            g = voxelize_chunked_trilinear(*a, num_bins=C, height=H, width=W)
+            return jnp.sum(jnp.abs(g))
+
+        float(vox_chunked(*dev))
+        times = []
+        for _ in range(3):
+            s = time.perf_counter()
+            float(vox_chunked(*dev))
+            times.append(time.perf_counter() - s)
+        chunked_rate = NWB * K / min(times)
+    except Exception:
+        pass
+
     # --- native C++ host voxelizer, single-thread per-window path ---
     from openess_tpu.native import HAVE_NATIVE, voxelize_trilinear_host
 
@@ -140,7 +177,8 @@ def bench_voxelize(rng):
                 voxelize_trilinear_host(x[sl], y[sl], p[sl], t[sl], C, H, W)
             times.append(time.perf_counter() - s)
         native_rate = N / min(times)
-    return np_rate, max(dev_rate, mxu_rate), native_rate, mxu_rate
+    return (np_rate, max(dev_rate, mxu_rate, chunked_rate), native_rate,
+            mxu_rate, chunked_rate)
 
 
 def build_flagship_step(teacher_os=None):
@@ -173,12 +211,24 @@ def build_flagship_step(teacher_os=None):
     return s, train_step, state
 
 
-def make_host_batch(rng, s, B):
+def make_raw_events(rng, B, T, K=100_000, H=480, W=640):
+    """Random DSEC-shaped raw events for the B*T windows (pre-crop frame)."""
+    n_win = B * T
+    x = rng.uniform(0, W - 1, (n_win, K)).astype(np.float32)
+    y = rng.uniform(0, H - 1, (n_win, K)).astype(np.float32)
+    p = rng.integers(0, 2, (n_win, K)).astype(np.float32)
+    t = np.sort(rng.uniform(0, 5e4, (n_win, K)), axis=1)
+    valid = np.ones((n_win, K), bool)
+    return x, y, p, t, valid
+
+
+def make_host_batch(rng, s, B, raw_events=None):
+    """Side channels + events in the configured wire format. With
+    wire_format=raw_events (production default) the events ride the compact
+    sorted-chunk wire and the step voxelizes on-device."""
     H, W = s.img_size_b
     T, bins = s.nr_events_data_b, s.nr_temporal_bins_b
-    return {
-        # planar [B, T, bins, H, W] wire format (see steps.py batch dict)
-        "event": rng.normal(0, 0.5, (B, T, bins, H, W)).astype(np.float32),
+    batch = {
         "frame": rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32),
         "recon": rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32),
         "label": rng.integers(0, s.semseg_num_classes, (B, H, W)).astype(np.int32),
@@ -186,6 +236,28 @@ def make_host_batch(rng, s, B):
         "superpixel": rng.integers(0, s.superpixel_size, (B, H, W)).astype(np.int32),
         "sam_feat": rng.normal(0, 1, (B, 16, 16, 256)).astype(np.float32),
     }
+    if s.wire_format == "raw_events":
+        from openess_tpu.native import chunk_events_windows_host
+
+        if raw_events is None:
+            raw_events = make_raw_events(rng, B, T)
+        xq, yq, pq, tr, cnts, r0s, trange = chunk_events_windows_host(
+            *raw_events, height=480, width=640, n_threads=0
+        )
+        nbc, e = xq.shape[1], xq.shape[2]
+        batch["ev_x"] = xq.reshape(B, T, nbc, e)
+        batch["ev_y"] = yq.reshape(B, T, nbc, e)
+        batch["ev_p"] = pq.reshape(B, T, nbc, e)
+        batch["ev_t"] = tr.reshape(B, T, nbc, e)
+        batch["ev_counts"] = cnts.reshape(B, T, nbc)
+        batch["ev_r0"] = r0s.reshape(B, T, nbc)
+        batch["ev_trange"] = trange.reshape(B, T)
+    else:
+        # planar [B, T, bins, H, W] grid wire
+        batch["event"] = rng.normal(0, 0.5, (B, T, bins, H, W)).astype(
+            np.float32
+        )
+    return batch
 
 
 def bench_train_step(rng):
@@ -256,46 +328,77 @@ def bench_train_step(rng):
 
 
 def bench_host_assembly(rng, s, B):
-    """Batched MT native voxelizer on a DSEC-scale batch (B*T windows)."""
-    from openess_tpu.native import HAVE_NATIVE, voxelize_trilinear_windows_host
+    """Per-batch host event work in both wire formats: the production
+    sorted-chunk packer vs the legacy full grid voxelization."""
+    from openess_tpu.native import (
+        HAVE_NATIVE,
+        chunk_events_windows_host,
+        voxelize_trilinear_windows_host,
+    )
 
     H, W = 480, 640  # sensor resolution before the 40-row crop
     T, bins, K = s.nr_events_data_b, s.nr_temporal_bins_b, 100_000
     n_win = B * T
-    x = rng.uniform(0, W - 1, (n_win, K)).astype(np.float32)
-    y = rng.uniform(0, H - 1, (n_win, K)).astype(np.float32)
-    p = rng.integers(0, 2, (n_win, K)).astype(np.float32)
-    t = np.sort(rng.uniform(0, 50e3, (n_win, K)), axis=1).astype(np.float32)
+    raw = make_raw_events(rng, B, T, K, H, W)
+    x, y, p, t, valid = raw
     counts = np.full(n_win, K, np.int64)
     nthr = min(8, os.cpu_count() or 1)
 
-    def assemble():
+    def assemble_grid():
         return voxelize_trilinear_windows_host(
-            x, y, p, t, counts, bins, H, W,
+            x, y, p, t.astype(np.float32), counts, bins, H, W,
             crop_bottom=40, norm_mode=0, n_threads=nthr, layout="chw",
         )
 
-    assemble()  # warm page cache / thread pool
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        assemble()
-        times.append(time.perf_counter() - t0)
-    ms = min(times) * 1e3
-    return ms, n_win * K / min(times), nthr, assemble, HAVE_NATIVE
+    def assemble_wire():
+        return chunk_events_windows_host(
+            x, y, p, t, valid, height=H, width=W, n_threads=nthr
+        )
+
+    def best_ms(fn):
+        fn()  # warm page cache / thread pool
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return min(times) * 1e3
+
+    grid_ms = best_ms(assemble_grid)
+    wire_ms = best_ms(assemble_wire)
+    production = s.wire_format == "raw_events"
+    asm_ms = wire_ms if production else grid_ms
+    assemble = assemble_wire if production else assemble_grid
+    return asm_ms, grid_ms, wire_ms, n_win * K, nthr, assemble, HAVE_NATIVE
 
 
-def bench_pipeline(train_step, state, host_batch, assemble):
+def bench_pipeline(train_step, state, host_batch, assemble, s):
     """Steady-state overlapped loop: one worker assembles + puts batch i+1
     while the device runs step i (the PrefetchLoader execution model)."""
     import jax
     import jax.numpy as jnp
 
+    B, T = s.batch_size_b, s.nr_events_data_b
+
     def make_device_batch():
-        ev = assemble()  # [B*T, bins, 440, 640] planar wire format
-        b = host_batch["event"].shape[0]
-        ev = ev.reshape((b, -1) + ev.shape[1:])
-        hb = dict(host_batch, event=ev.astype(np.float32))
+        out = assemble()
+        if s.wire_format == "raw_events":
+            xq, yq, pq, tr, cnts, r0s, trange = out
+            nbc, e = xq.shape[1], xq.shape[2]
+            hb = dict(
+                host_batch,
+                ev_x=xq.reshape(B, T, nbc, e),
+                ev_y=yq.reshape(B, T, nbc, e),
+                ev_p=pq.reshape(B, T, nbc, e),
+                ev_t=tr.reshape(B, T, nbc, e),
+                ev_counts=cnts.reshape(B, T, nbc),
+                ev_r0=r0s.reshape(B, T, nbc),
+                ev_trange=trange.reshape(B, T),
+            )
+        else:
+            ev = out  # [B*T, bins, 440, 640] planar wire format
+            ev = ev.reshape((B, -1) + ev.shape[1:])
+            hb = dict(host_batch, event=ev.astype(np.float32))
         db = {k: jax.device_put(v) for k, v in hb.items()}
         jax.block_until_ready(db)
         return db
@@ -321,7 +424,7 @@ def bench_pipeline(train_step, state, host_batch, assemble):
 def main():
     rng = np.random.default_rng(0)
 
-    np_rate, dev_rate, native_rate, mxu_rate = bench_voxelize(rng)
+    np_rate, dev_rate, native_rate, mxu_rate, chunked_rate = bench_voxelize(rng)
     pipeline_rate = max(native_rate, dev_rate)
 
     extra = {
@@ -329,6 +432,7 @@ def main():
         "native_host_events_per_s": round(native_rate, 0),
         "tpu_device_events_per_s": round(dev_rate, 0),
         "tpu_pallas_mxu_events_per_s": round(mxu_rate, 0),
+        "tpu_pallas_chunked_events_per_s": round(chunked_rate, 0),
     }
 
     try:
@@ -350,15 +454,17 @@ def main():
                 100 * flops / (step_ms / 1e3) / peak_flops(kind), 1
             )
 
-        asm_ms, host_mev, nthr, assemble, have_native = bench_host_assembly(
-            rng, s, B
-        )
+        (asm_ms, grid_ms, wire_ms, n_events, nthr, assemble,
+         have_native) = bench_host_assembly(rng, s, B)
         extra["host_assembly_ms_b8"] = round(asm_ms, 1)
-        extra["host_voxelize_mev_s"] = round(host_mev / 1e6, 1)
+        extra["host_grid_voxelize_ms_b8"] = round(grid_ms, 1)
+        extra["host_chunk_pack_ms_b8"] = round(wire_ms, 1)
+        extra["host_chunk_mev_s"] = round(n_events / wire_ms / 1e3, 1)
         extra["host_threads"] = nthr
         extra["host_feeds_chip"] = bool(asm_ms <= step_ms)
+        extra["wire_format"] = s.wire_format
 
-        pipe_ms = bench_pipeline(train_step, state, host_batch, assemble)
+        pipe_ms = bench_pipeline(train_step, state, host_batch, assemble, s)
         extra["pipeline_step_ms_b8_measured"] = round(pipe_ms, 1)
         # The measured number rides the axon relay's ~50 MB/s H2D tunnel
         # (h2d_put_ms_b8); on a TPU host the batch rides DMA at >=10 GB/s,

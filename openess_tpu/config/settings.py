@@ -35,7 +35,15 @@ class Settings:
     # R50; 8/16 = faster coarse trunks (features are upsampled + superpixel
     # mean-pooled either way)
     teacher_os: int = 4
-    host_voxelize: bool = True  # native C++ host voxelizer in the data plane
+    # event wire format for the voxel paths:
+    #   'raw_events' (production default): host ships compact sorted-chunk
+    #     event streams (9 B/event) and the jitted step voxelizes on-device
+    #     via the Pallas sorted-chunk kernel — ~5x less H2D than grids and
+    #     no host voxelization cost
+    #   'grid': host voxelizes (native C++ when host_voxelize, else the
+    #     device pre-pass) and ships dense [B,T,bins,H,W] grids
+    wire_format: str = "raw_events"
+    host_voxelize: bool = True  # native C++ host voxelizer for 'grid' wire
     # --- model ---
     model_name: str = "open_ess"
     skip_connect_encoder: bool = True
@@ -123,6 +131,10 @@ class Settings:
             f"tpu.tp_mode must be 'channel' or 'spatial', got {self.tp_mode!r}"
         )
         assert self.teacher_os in (4, 8, 16), self.teacher_os
+        assert self.wire_format in ("raw_events", "grid"), (
+            f"tpu.wire_format must be 'raw_events' or 'grid', "
+            f"got {self.wire_format!r}"
+        )
         self.sensor_b_name = self.dataset_name_b.split("_")[-1]
         self.semseg_class_names = CLASS_NAMES[self.semseg_num_classes]
         self.semseg_color_map = COLOR_MAPS[self.semseg_num_classes]
@@ -166,6 +178,8 @@ def load_settings(settings_yaml: str, generate_log: bool = False) -> Settings:
     s.mesh_model = _get(y, "tpu", "mesh_model", default=1)
     s.tp_mode = _get(y, "tpu", "tp_mode", default="channel")
     s.teacher_os = int(_get(y, "tpu", "teacher_os", default=4))
+    s.wire_format = _get(y, "tpu", "wire_format", default="raw_events")
+    s.host_voxelize = bool(_get(y, "tpu", "host_voxelize", default=True))
     # model
     for k in (
         "model_name", "skip_connect_encoder", "skip_connect_task",

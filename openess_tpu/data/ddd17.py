@@ -267,7 +267,35 @@ class DDD17Dataset:
             if key in samples[0]:
                 batch[key] = np.stack([sm[key] for sm in samples])
         if needs_events:
-            if s.host_voxelize or s.event_representation_b == "histogram":
+            if s.event_representation_b == "histogram":
+                batch["event"] = self._host_voxelize(ev)
+            elif s.wire_format == "raw_events":
+                # production wire: compact sorted-chunk event streams; the
+                # jitted step voxelizes + resizes on-device
+                from openess_tpu.native import chunk_events_windows_host
+
+                T = s.nr_events_data_b
+                B = len(ev)
+                K = ev[0][0].shape[1]
+                wire = chunk_events_windows_host(
+                    np.stack([e[0] for e in ev]).reshape(B * T, K),
+                    np.stack([e[1] for e in ev]).reshape(B * T, K),
+                    np.stack([e[2] for e in ev]).reshape(B * T, K),
+                    np.stack([e[3] for e in ev]).astype(np.float64).reshape(B * T, K),
+                    np.stack([e[4] for e in ev]).reshape(B * T, K),
+                    height=HEIGHT, width=WIDTH, integer_coords=True,
+                    n_threads=s.num_cpu_workers,
+                )
+                xq, yq, pq, tr, cnts, r0s, trange = wire
+                nbc, E = xq.shape[1], xq.shape[2]
+                batch["ev_x"] = xq.reshape(B, T, nbc, E)
+                batch["ev_y"] = yq.reshape(B, T, nbc, E)
+                batch["ev_p"] = pq.reshape(B, T, nbc, E)
+                batch["ev_t"] = tr.reshape(B, T, nbc, E)
+                batch["ev_counts"] = cnts.reshape(B, T, nbc)
+                batch["ev_r0"] = r0s.reshape(B, T, nbc)
+                batch["ev_trange"] = trange.reshape(B, T)
+            elif s.host_voxelize:
                 batch["event"] = self._host_voxelize(ev)
             else:
                 stacked = [np.stack([e[i] for e in ev]) for i in range(5)]

@@ -1,0 +1,82 @@
+"""Raw-event-wire -> voxel windows, inside the jitted step.
+
+The production data plane (``tpu.wire_format: raw_events``): datasets ship
+the compact sorted-chunk wire (see ``ops/voxelize_chunked.py``) and the
+train/eval steps call :func:`voxelize_wire` to build the planar
+``[B, T, C, H', W']`` window tensor on-device — the reference's DataLoader
+voxelization (``DSEC/dataset/sequence_ov.py:304-305``, ``datasets/
+ddd17_events_loader.py:183-196``) moved onto the TPU, where it runs at
+~280 Mev/s instead of occupying host cores.
+
+Wire batch keys (all batch-sharded on the data mesh axis):
+  ev_x, ev_y   int16 [B, T, NBC, E]   fixed-point coords (x32)
+  ev_p         uint8 [B, T, NBC, E]
+  ev_t         f32   [B, T, NBC, E]   time rel. to the window's first event
+  ev_counts    int32 [B, T, NBC]      valid events per chunk
+  ev_r0        int32 [B, T, NBC]      chunk's 16-row tile offset
+  ev_trange    f32   [B, T]           window time range
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from openess_tpu.config.settings import Settings
+
+WIRE_KEYS = (
+    "ev_x", "ev_y", "ev_p", "ev_t", "ev_counts", "ev_r0", "ev_trange",
+)
+
+
+def has_wire(batch) -> bool:
+    return "ev_x" in batch
+
+
+def voxelize_wire(s: Settings, batch) -> jax.Array:
+    """Chunked wire -> planar ``[B, T, C, H_out, W_out]`` voxel windows with
+    the dataset's post-ops fused in (DSEC 40-row bottom crop; DDD17
+    align-corners resize 346->352 + 60-row crop), matching the host 'grid'
+    wire bit-for-semantics (bf16-matmul tolerance)."""
+    from openess_tpu.ops.voxelize_chunked import (
+        voxelize_chunked_bilinear_t,
+        voxelize_chunked_trilinear,
+    )
+
+    b, t, nbc, e = batch["ev_x"].shape
+    flat = lambda a: a.reshape((b * t,) + a.shape[2:])
+    args = tuple(
+        flat(batch[k]) for k in ("ev_x", "ev_y", "ev_p", "ev_t",
+                                 "ev_counts", "ev_r0")
+    ) + (batch["ev_trange"].reshape(b * t),)
+    bins = s.nr_temporal_bins_b
+    interp = jax.default_backend() != "tpu"  # portable path off-TPU
+
+    if s.dataset_name_b == "DDD17_events":
+        from openess_tpu.data.ddd17 import CROP_BOTTOM, HEIGHT, RESIZE_W, WIDTH
+        from openess_tpu.ops.resize import resize_bilinear
+
+        g = voxelize_chunked_bilinear_t(
+            *args, num_bins=bins, height=HEIGHT, width=WIDTH,
+            separate_pol=s.separate_pol_b, normalize=s.normalize_event_b,
+            interpret=interp,
+        )  # [B*T, C, 260, 346]
+        g = jnp.moveaxis(g, 1, -1)  # NHWC for the torch-exact resize
+        g = resize_bilinear(g, out_h=HEIGHT, out_w=RESIZE_W, align_corners=True)
+        g = g[:, : HEIGHT - CROP_BOTTOM]
+        g = jnp.moveaxis(g, -1, 1)  # planar [B*T, C, 200, 352]
+    elif s.dataset_name_b == "DSEC_events":
+        from openess_tpu.data.dsec import DSECSequence
+
+        h, w = DSECSequence.HEIGHT, DSECSequence.WIDTH
+        g = voxelize_chunked_trilinear(
+            *args, num_bins=bins, height=h, width=w,
+            normalize=s.normalize_event_b, interpret=interp,
+        )
+        g = g[:, :, :-40]  # bottom crop (sequence_ov.py:307)
+    else:  # synthetic: trilinear at the configured frame size, no crop
+        h, w = int(s.img_size_b[0]), int(s.img_size_b[1])
+        g = voxelize_chunked_trilinear(
+            *args, num_bins=bins, height=h, width=w,
+            normalize=s.normalize_event_b, interpret=interp,
+        )
+    return g.reshape((b, t) + g.shape[1:])

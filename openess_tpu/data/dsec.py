@@ -184,7 +184,9 @@ class DSECSequence:
             # normalization (t_first/t_last over valid only) is unaffected
             t[i, n:] = t[i, n - 1] if n > 0 else 0
             valid[i, :n] = True
-        return x, y, p, t.astype(np.float32), valid
+        # t stays float64: µs timestamps overflow f32 precision; consumers
+        # that want f32 (the host grid voxelizer) cast after windowing
+        return x, y, p, t, valid
 
     # ---------------- side channels ----------------
 
@@ -300,6 +302,29 @@ class DSECDataset:
                 batch["event"] = (
                     grids[:, :, : H - 40].reshape(B, T, 2, H - 40, W)
                 )
+            elif s.wire_format == "raw_events":
+                # production wire: compact sorted-chunk event streams; the
+                # jitted step voxelizes on-device (data/device_voxelize.py)
+                from openess_tpu.native import chunk_events_windows_host
+
+                B = len(ev)
+                wire = chunk_events_windows_host(
+                    np.stack([e[0] for e in ev]).reshape(B * T, K),
+                    np.stack([e[1] for e in ev]).reshape(B * T, K),
+                    np.stack([e[2] for e in ev]).reshape(B * T, K),
+                    np.stack([e[3] for e in ev]).reshape(B * T, K),
+                    np.stack([e[4] for e in ev]).reshape(B * T, K),
+                    height=H, width=W, n_threads=s.num_cpu_workers,
+                )
+                xq, yq, pq, tr, cnts, r0s, trange = wire
+                nbc, E = xq.shape[1], xq.shape[2]
+                batch["ev_x"] = xq.reshape(B, T, nbc, E)
+                batch["ev_y"] = yq.reshape(B, T, nbc, E)
+                batch["ev_p"] = pq.reshape(B, T, nbc, E)
+                batch["ev_t"] = tr.reshape(B, T, nbc, E)
+                batch["ev_counts"] = cnts.reshape(B, T, nbc)
+                batch["ev_r0"] = r0s.reshape(B, T, nbc)
+                batch["ev_trange"] = trange.reshape(B, T)
             elif s.host_voxelize:
                 # one native call voxelizes all B*T windows, parallel across
                 # windows (num_cpu_workers threads), with the nonzero

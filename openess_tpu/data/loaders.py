@@ -44,5 +44,9 @@ def build_datasets(s: Settings):
 def _with_get_batch(ds, s: Settings):
     if not hasattr(ds, "get_batch"):
         bins = s.nr_temporal_bins_b
-        ds.get_batch = lambda idx: ds.voxelized_batch(list(idx), num_bins=bins)
+        needs_events = s.config_option in ("recon2voxel", "frame2voxel")
+        if needs_events and s.wire_format == "raw_events":
+            ds.get_batch = lambda idx: ds.raw_wire_batch(list(idx), num_bins=bins)
+        else:
+            ds.get_batch = lambda idx: ds.voxelized_batch(list(idx), num_bins=bins)
     return ds

@@ -87,6 +87,43 @@ class SyntheticESS:
     def __getitem__(self, idx):
         return self._cache[idx]
 
+    def raw_wire_batch(self, indices, num_bins: int = 5) -> dict:
+        """Batch with events in the compact sorted-chunk wire format
+        (tpu.wire_format: raw_events); the jitted step voxelizes on-device."""
+        from openess_tpu.ops.voxelize_chunked import chunk_events_batch
+
+        out = {k: [] for k in ("frame", "recon", "label", "pl",
+                               "superpixel", "sam_feat")}
+        xs, ys, ps, ts, vs = [], [], [], [], []
+        T = self.num_windows
+        for i in indices:
+            s = self._cache[i]
+            x, y, p, t = s["events_xypt"]
+            xs.append(x.reshape(T, -1))
+            ys.append(y.reshape(T, -1))
+            ps.append(p.reshape(T, -1))
+            ts.append(t.reshape(T, -1))
+            vs.append(np.ones((T, x.size // T), bool))
+            for k in out:
+                out[k].append(s[k])
+        batch = {k: np.stack(v) for k, v in out.items()}
+        B = len(indices)
+        cat = lambda a: np.concatenate(a, axis=0)
+        wire = chunk_events_batch(
+            cat(xs), cat(ys), cat(ps), cat(ts).astype(np.float64), cat(vs),
+            height=self.height, width=self.width,
+        )
+        xq, yq, pq, tr, cnts, r0s, trange = wire
+        nbc, e = xq.shape[1], xq.shape[2]
+        batch["ev_x"] = xq.reshape(B, T, nbc, e)
+        batch["ev_y"] = yq.reshape(B, T, nbc, e)
+        batch["ev_p"] = pq.reshape(B, T, nbc, e)
+        batch["ev_t"] = tr.reshape(B, T, nbc, e)
+        batch["ev_counts"] = cnts.reshape(B, T, nbc)
+        batch["ev_r0"] = r0s.reshape(B, T, nbc)
+        batch["ev_trange"] = trange.reshape(B, T)
+        return batch
+
     def voxelized_batch(self, indices, num_bins: int = 5) -> dict:
         """Assemble a device-ready batch dict (events pre-voxelized on host
         numpy for test portability; the real pipeline voxelizes on device)."""

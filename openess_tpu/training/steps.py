@@ -93,7 +93,17 @@ class StepBuilder:
         feats, _ = self._apply(name, params, bstats, x, train=False)
         return feats
 
-    def _event_path(self, params, bstats, windows, train, rng):
+    def _windows(self, batch):
+        """Voxel windows [B, T, bins, H, W]: either the host-built grid wire
+        or, on the production raw-event wire, voxelized on-device here —
+        INSIDE the jitted step, so the Pallas kernel fuses into the graph."""
+        if "event" in batch:
+            return batch["event"]
+        from openess_tpu.data.device_voxelize import voxelize_wire
+
+        return voxelize_wire(self.s, batch)
+
+    def _event_path(self, params, bstats, batch, train, rng):
         """E2VID scan -> (detached) latent -> SemSegE2VID head.
 
         The detach matches pretrain_trainer.py:551-552 / finetune_trainer.py:
@@ -105,6 +115,7 @@ class StepBuilder:
         # windows arrive in the planar [B, T, bins, H, W] wire format; the
         # E2VID scan transposes to NHWC per step (planar_input=True) so no
         # full-size bins-minor buffer is ever materialized
+        windows = self._windows(batch)
         (_, latent), _ = self._apply(
             "front_sensor_b", params, bstats, windows, train=False
         )
@@ -184,7 +195,7 @@ class StepBuilder:
                 timg = batch["recon" if opt == "recon2voxel" else "frame"]
                 feat_teacher = self._teacher(tname, params, bstats, timg)
                 logits_voxel, feat_voxel = self._event_path(
-                    params, bstats, batch["event"], True, rng_d1
+                    params, bstats, batch, True, rng_d1
                 )
                 if s.if_spatial_contrastive:
                     l = contrastive(feat_voxel, feat_teacher, s.superpixel_size)
@@ -200,7 +211,7 @@ class StepBuilder:
 
         elif task in ("finetune", "linear_probe", "sup_only"):
             if opt in VOXEL_OPTIONS:
-                logits, _ = self._event_path(params, bstats, batch["event"], True, rng_d1)
+                logits, _ = self._event_path(params, bstats, batch, True, rng_d1)
             else:
                 logits, _, bs = self._deeplab(
                     "model_recon", params, bstats, batch["recon"], True, rng_d1
@@ -224,7 +235,7 @@ class StepBuilder:
                 losses["semseg_recon_loss"] = l
                 t_loss += l
                 logits_voxel, feat_voxel = self._event_path(
-                    params, bstats, batch["event"], True, rng_d2
+                    params, bstats, batch, True, rng_d2
                 )
                 l = tloss(logits_voxel, batch["pl"])
                 losses["semseg_sensor_b_loss"] = l
@@ -286,6 +297,13 @@ class StepBuilder:
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng, epoch):
             rng_aug, rng_loss = jax.random.split(jax.random.fold_in(rng, state.step))
+            if s.config_option in VOXEL_OPTIONS and "event" not in batch:
+                # raw-event wire: voxelize on-device BEFORE augmentation so
+                # the paired flip applies to the grid exactly as in the
+                # reference (sequence_ov.py:362-440)
+                batch = {
+                    k: v for k, v in batch.items() if not k.startswith("ev_")
+                } | {"event": self._windows(batch)}
             if s.data_augmentation_train:
                 batch_aug = augment_batch(rng_aug, batch)
             else:
@@ -322,7 +340,7 @@ class StepBuilder:
         def viz_step(params, batch_stats, batch):
             if opt in VOXEL_OPTIONS:
                 logits, feats = self._event_path(
-                    params, batch_stats, batch["event"], False, None
+                    params, batch_stats, batch, False, None
                 )
             else:
                 logits, feats, _ = self._deeplab(
@@ -340,7 +358,7 @@ class StepBuilder:
         def eval_step(params, batch_stats, batch):
             if opt in VOXEL_OPTIONS:
                 logits, _ = self._event_path(
-                    params, batch_stats, batch["event"], False, None
+                    params, batch_stats, batch, False, None
                 )
             else:
                 logits, _, _ = self._deeplab(

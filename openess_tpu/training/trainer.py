@@ -215,8 +215,18 @@ class Trainer:
             os.path.join(d, f"semseg_pred_gt_e{e:03d}.png"),
             viz.image_grid(panels, nrow=n),
         )
-        if "event" in batch:
-            ev = np.asarray(batch["event"][:n])  # planar [n, T, C, H, W]
+        from openess_tpu.data.device_voxelize import has_wire, voxelize_wire
+
+        if "event" in batch or has_wire(batch):
+            if "event" in batch:
+                ev = np.asarray(batch["event"][:n])  # planar [n, T, C, H, W]
+            else:  # raw wire: voxelize the preview samples on device
+                ev = np.asarray(
+                    voxelize_wire(
+                        self.s, {k: v[:n] for k, v in batch.items()
+                                 if k.startswith("ev_")}
+                    )
+                )
             if self.s.event_representation_b == "histogram":
                 # channels are (neg, pos) counts; event_image's separate_pol
                 # path expects (pos..., neg...), so flip the channel order

@@ -54,6 +54,7 @@ def test_dsec_event_batch(dsec_root):
         nr_events_window_b=500,
         pl_sources="pl_fcclip_rgb",
         superpixel_sources="sp_sam_rgb",
+        wire_format="grid",
     )
     ds = DSECDataset(s, split="train")
     # 16 labels - 6 (warmup trim) = 10 usable
@@ -134,6 +135,7 @@ def test_ddd17_event_batch(ddd17_root):
         nr_events_window_b=400,
         pl_sources="pl_fcclip_rgb",
         superpixel_sources="sp_sam_rgb",
+        wire_format="grid",
     )
     ds = DDD17Dataset(s, split="train")
     assert len(ds) == 5 * 6  # 5 train dirs x 6 masks
@@ -263,6 +265,7 @@ def test_dsec_device_voxelizer_matches_host(dsec_root):
         pl_sources="pl_fcclip_rgb",
         superpixel_sources="sp_sam_rgb",
     )
+    kw["wire_format"] = "grid"
     host = DSECDataset(make_settings(**kw), split="train").get_batch([0, 1])
     s2 = make_settings(host_voxelize=False, **kw)
     dev = DSECDataset(s2, split="train").get_batch([0, 1])
@@ -282,9 +285,67 @@ def test_ddd17_device_voxelizer_matches_host(ddd17_root):
         pl_sources="pl_fcclip_rgb",
         superpixel_sources="",
     )
+    kw["wire_format"] = "grid"
     host = DDD17Dataset(make_settings(**kw), split="train").get_batch([0, 1])
     dev = DDD17Dataset(
         make_settings(host_voxelize=False, **kw), split="train"
     ).get_batch([0, 1])
     assert dev["event"].shape == host["event"].shape
     np.testing.assert_allclose(dev["event"], host["event"], atol=1e-3)
+
+
+def test_dsec_raw_wire_matches_host_grid(dsec_root):
+    """The production raw-event wire (tpu.wire_format default) voxelized
+    on-device must match the host grid wire built from the same events."""
+    from openess_tpu.data.device_voxelize import voxelize_wire
+    from openess_tpu.data.dsec import DSECDataset
+
+    kw = dict(
+        dataset_name_b="DSEC_events",
+        dataset_path_b=str(dsec_root),
+        config_option="recon2voxel",
+        nr_events_data_b=2,
+        nr_events_window_b=500,
+        pl_sources="pl_fcclip_rgb",
+        superpixel_sources="sp_sam_rgb",
+    )
+    host = DSECDataset(
+        make_settings(wire_format="grid", **kw), split="train"
+    ).get_batch([0, 1])
+    s_raw = make_settings(**kw)
+    assert s_raw.wire_format == "raw_events"  # the production default
+    wire = DSECDataset(s_raw, split="train").get_batch([0, 1])
+    assert "event" not in wire and "ev_x" in wire
+    got = np.asarray(voxelize_wire(s_raw, wire))
+    ref = host["event"]
+    assert got.shape == ref.shape == (2, 2, 5, 440, 640)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 2e-2, err  # 1/32-px quantization + bf16 accumulation
+
+
+def test_ddd17_raw_wire_matches_host_grid(ddd17_root):
+    from openess_tpu.data.device_voxelize import voxelize_wire
+    from openess_tpu.data.ddd17 import DDD17Dataset
+
+    kw = dict(
+        dataset_name_b="DDD17_events",
+        dataset_path_b=str(ddd17_root),
+        config_option="frame2voxel",
+        semseg_num_classes=6,
+        nr_events_data_b=2,
+        separate_pol_b=True,
+        normalize_event_b=True,
+        pl_sources="pl_fcclip_rgb",
+        superpixel_sources="",
+    )
+    host = DDD17Dataset(
+        make_settings(wire_format="grid", **kw), split="train"
+    ).get_batch([0, 1])
+    s_raw = make_settings(**kw)
+    wire = DDD17Dataset(s_raw, split="train").get_batch([0, 1])
+    assert "event" not in wire and "ev_x" in wire
+    got = np.asarray(voxelize_wire(s_raw, wire))
+    ref = host["event"]
+    assert got.shape == ref.shape == (2, 2, 10, 200, 352)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 2e-2, err

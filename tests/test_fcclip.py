@@ -522,16 +522,17 @@ def test_pl_tool_maxpool_and_png_contract(tmp_path, monkeypatch, rng):
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     gpl = importlib.import_module("generate_pseudo_labels")
+    user_to_dsec = gpl.DATASET_REMAP["dsec"][0]
 
     # max-pool semantics vs a numpy re-derivation
     scores = rng.normal(size=(1, 4, 6, 36)).astype(np.float32)
-    got = np.asarray(gpl.maxpool_argmax(scores, gpl.USER_TO_DSEC, 11))
+    got = np.asarray(gpl.maxpool_argmax(scores, user_to_dsec, 11))
     pooled = np.full((1, 4, 6, 11), -np.inf, np.float32)
     for u in range(36):
-        c = gpl.USER_TO_DSEC[u]
+        c = user_to_dsec[u]
         pooled[..., c] = np.maximum(pooled[..., c], scores[..., u])
     np.testing.assert_array_equal(got, pooled.argmax(-1).astype(np.uint8))
-    assert len(gpl.USER_TO_DSEC) == 36 and gpl.USER_TO_DSEC.max() == 10
+    assert len(user_to_dsec) == 36 and user_to_dsec.max() == 10
 
     # end-to-end file contract on a replica tree with a stub teacher
     from PIL import Image
