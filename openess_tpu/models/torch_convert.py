@@ -270,3 +270,74 @@ def convert_maskclip(backbone_sd: Dict, visual_projs: Dict) -> Dict:
     if proj_w.ndim == 4:  # [512, 768, 1, 1]
         proj_w = proj_w[:, :, 0, 0]
     return {"encoder": enc, "proj": {"kernel": proj_w.T}}
+
+
+# ---------------------------------------------------------------------------
+# SemSegE2VID head (models/style_networks.py skip_connect=True path)
+# ---------------------------------------------------------------------------
+
+def convert_semseg_e2vid(sd: Dict, prefix: str = "") -> Tuple[Dict, np.ndarray]:
+    """SemSegE2VID torch state_dict -> (params, text_embeddings) for
+    :class:`openess_tpu.models.semseg_e2vid.SemSegE2VID`.
+
+    Torch layout (style_networks.py:34-72): decoder_scale_1 = Sequential of
+    5 INSResBlocks (convs at model.0 / model.3) + one ReLUINSConv2d
+    (conv at model.0); decoder_scale_{2,3} = two ReLUINSConv2d each;
+    decoder_scale_4 = one; decoder_ch256/ch512 = 1x1 convs at index 0.
+    InstanceNorm is affine=False, so norms carry no weights.
+    """
+    g = lambda k: sd[prefix + k]
+
+    def conv(k):
+        return {"kernel": conv_w(g(k + ".weight")), "bias": _np(g(k + ".bias"))}
+
+    params: Dict[str, Any] = {}
+    for i in range(5):
+        params[f"ds1_res{i}"] = {
+            "conv1": conv(f"decoder_scale_1.{i}.model.0"),
+            "conv2": conv(f"decoder_scale_1.{i}.model.3"),
+        }
+    params["ds1_conv"] = {"conv": conv("decoder_scale_1.5.model.0")}
+    params["ds2_conv1"] = {"conv": conv("decoder_scale_2.0.model.0")}
+    params["ds2_conv2"] = {"conv": conv("decoder_scale_2.1.model.0")}
+    params["ds3_conv1"] = {"conv": conv("decoder_scale_3.0.model.0")}
+    params["ds3_conv2"] = {"conv": conv("decoder_scale_3.1.model.0")}
+    params["ds4_conv"] = {"conv": conv("decoder_scale_4.0.model.0")}
+    params["decoder_ch256"] = conv("decoder_ch256.0")
+    params["decoder_ch512"] = conv("decoder_ch512.0")
+    if prefix + "linear_probe.weight" in sd:
+        params["linear_probe"] = conv("linear_probe")
+    text = _np(g("text_embeddings")) if prefix + "text_embeddings" in sd else None
+    return params, text
+
+
+def convert_openess_checkpoint(ckpt: Any) -> Tuple[Dict, Dict, Any]:
+    """Released OpenESS checkpoint (``Epoch_N.pt`` / ``ckp.pt``,
+    utils/saver.py:31-55: a dict of per-model state_dicts keyed
+    front_sensor_b / model_recon / back_end) -> (params, batch_stats,
+    text_embeddings) in this framework's tree layout — ready to save as an
+    orbax ``pretrained_file`` (tools/convert_torch_checkpoints.py).
+    """
+    if isinstance(ckpt, str):
+        import torch
+
+        ckpt = torch.load(ckpt, map_location="cpu")
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    text = None
+    if "front_sensor_b" in ckpt:
+        params["front_sensor_b"] = convert_e2vid(ckpt["front_sensor_b"])
+    if "model_recon" in ckpt:
+        p, s, text = convert_deeplab(ckpt["model_recon"])
+        params["model_recon"] = p
+        stats["model_recon"] = s
+    if "model_frame" in ckpt:
+        p, s, t = convert_deeplab(ckpt["model_frame"])
+        params["model_frame"] = p
+        stats["model_frame"] = s
+        text = text if text is not None else t
+    if "back_end" in ckpt:
+        p, t = convert_semseg_e2vid(ckpt["back_end"])
+        params["back_end"] = p
+        text = text if text is not None else t
+    return params, stats, text

@@ -220,3 +220,84 @@ def test_maskclip_extractor_shapes(rng):
     assert logits.shape == (1, 64, 96, 11)
     logits2, feats = m.apply(variables, img, text, return_features=True)
     assert feats.shape == (1, 4, 6, 768)
+
+
+@pytest.fixture(scope="module")
+def ref_style():
+    # style_networks imports torchvision at module top but SemSegE2VID never
+    # touches it; stub it (torchvision is not in this image)
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvm = types.ModuleType("torchvision.models")
+        tv.models = tvm
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tvm
+    # it also does `from models.submodules import ...`: expose the reference
+    # models dir as the 'models' package
+    _load("models.submodules", f"{REF}/models/submodules.py", f"{REF}/models")
+    return _load(
+        "models.style_networks", f"{REF}/models/style_networks.py",
+        f"{REF}/models",
+    )
+
+
+def test_semseg_e2vid_conversion_parity(ref_style, rng):
+    """convert_semseg_e2vid maps the reference SemSegE2VID head
+    (style_networks.py skip_connect=True, the configuration every OpenESS
+    config uses) onto our flax head with matching outputs — the missing
+    piece for converting released OpenESS checkpoints (Epoch_N.pt)."""
+    from openess_tpu.models.semseg_e2vid import SemSegE2VID
+    from openess_tpu.models.torch_convert import convert_semseg_e2vid
+
+    tm = ref_style.SemSegE2VID(
+        input_c=256, output_c=6, skip_connect=True, skip_type="concat",
+        text_embeddings_path=None,
+    ).eval()
+    h, w = 16, 24
+    latent_t = {
+        8: torch.from_numpy(rng.normal(size=(1, 256, h, w)).astype(np.float32)),
+        4: torch.from_numpy(
+            rng.normal(size=(1, 128, h * 2, w * 2)).astype(np.float32)
+        ),
+        2: torch.from_numpy(
+            rng.normal(size=(1, 64, h * 4, w * 4)).astype(np.float32)
+        ),
+        # full-res head latent: only consulted for its width (sz_in)
+        1: torch.zeros((1, 32, h * 8, w * 8)),
+    }
+    with torch.no_grad():
+        out_dict, ref_feat = tm(dict(latent_t))
+    ref_logits = out_dict[1]
+
+    params, text = convert_semseg_e2vid(tm.state_dict())
+    model = SemSegE2VID(input_c=256, num_classes=6)
+    latent = {
+        str(k): to_nhwc(v) for k, v in latent_t.items() if k != "size"
+    }
+    logits, feat256 = model.apply({"params": params}, latent, text)
+    assert_close_rel(logits, to_nhwc(ref_logits))
+    assert_close_rel(feat256, to_nhwc(ref_feat))
+
+
+def test_openess_checkpoint_conversion(ref_style, ref_unet, ref_deeplab):
+    """convert_openess_checkpoint maps a saver.py-format Epoch_N.pt (dict of
+    per-model state_dicts) into this framework's (params, stats, text)."""
+    from openess_tpu.models.torch_convert import convert_openess_checkpoint
+
+    head = ref_style.SemSegE2VID(
+        input_c=256, output_c=6, skip_connect=True, skip_type="concat",
+        text_embeddings_path=None,
+    )
+    unet = ref_unet.UNetRecurrent(
+        num_input_channels=5, num_output_channels=1, skip_type="sum",
+        recurrent_block_type="convlstm", activation="sigmoid",
+        num_encoders=3, base_num_channels=32, num_residual_blocks=2,
+        norm=None, use_upsample_conv=False,
+    )
+    unet_sd = {"unetrecurrent." + k: v for k, v in unet.state_dict().items()}
+    ckpt = {"front_sensor_b": unet_sd, "back_end": head.state_dict()}
+    params, stats, text = convert_openess_checkpoint(ckpt)
+    assert set(params) == {"front_sensor_b", "back_end"}
+    assert text is not None and text.shape == (6, 512)
+    assert "ds1_res0" in params["back_end"]
+    assert params["back_end"]["decoder_ch512"]["kernel"].shape == (1, 1, 256, 512)
