@@ -58,16 +58,42 @@ class SyntheticESS:
         rx = np.minimum((np.arange(w) * sp_cols) // w, sp_cols - 1)
         superpixel = (ry[:, None] * sp_cols + rx[None, :]).astype(np.int64)
 
-        # events at label boundaries
+        # events at label boundaries (half) + class-textured interiors
+        # (half): each class has its own interior event rate and polarity
+        # bias, the way real scene textures differ — without interior
+        # events a segmentation model could never label region interiors
+        # from the event stream alone
         edges = np.zeros((h, w), bool)
         edges[:, 1:] |= label[:, 1:] != label[:, :-1]
         edges[1:, :] |= label[1:, :] != label[:-1, :]
         ey, ex = np.nonzero(edges)
         n = self.num_windows * self.events_per_window
-        pick = rng.integers(0, len(ey), n)
-        x = ex[pick].astype(np.float32) + rng.uniform(-0.5, 0.5, n).astype(np.float32)
-        y = ey[pick].astype(np.float32) + rng.uniform(-0.5, 0.5, n).astype(np.float32)
-        p = rng.integers(0, 2, n).astype(np.float32)
+        ne = n // 2
+        pick = rng.integers(0, len(ey), ne)
+        x_e = ex[pick].astype(np.float32)
+        y_e = ey[pick].astype(np.float32)
+        p_e = rng.integers(0, 2, ne).astype(np.float32)
+
+        class_rate = np.linspace(0.2, 1.0, c)  # interior density per class
+        weights = class_rate[label].reshape(-1)
+        weights = weights / weights.sum()
+        ni = n - ne
+        flat = rng.choice(h * w, size=ni, p=weights)
+        y_i = (flat // w).astype(np.float32)
+        x_i = (flat % w).astype(np.float32)
+        pol_bias = np.linspace(0.15, 0.85, c)  # P(positive) per class
+        p_i = (rng.random(ni) < pol_bias[label.reshape(-1)[flat]]).astype(
+            np.float32
+        )
+
+        x = np.concatenate([x_e, x_i])
+        y = np.concatenate([y_e, y_i])
+        p = np.concatenate([p_e, p_i])
+        order = rng.permutation(n)
+        jitter = rng.uniform(-0.5, 0.5, (2, n)).astype(np.float32)
+        x = x[order] + jitter[0]
+        y = y[order] + jitter[1]
+        p = p[order]
         t = np.sort(rng.uniform(0, 1e6, n)).astype(np.float32)
 
         sam_feat = rng.normal(0, 1, (16, 16, 256)).astype(np.float32)

@@ -60,7 +60,8 @@ def _torch_mha(sd, prefix):
     }
 
 
-def convert_visual_trunk(sd: Dict[str, Any], prefix="backbone.clip_model.visual.trunk."):
+def convert_visual_trunk(sd: Dict[str, Any], prefix="backbone.clip_model.visual.trunk.",
+                         depths=CONVNEXT_LARGE_DEPTHS):
     p: Dict[str, Any] = {
         "stem_conv": {
             "kernel": conv_kernel(sd[prefix + "stem.0.weight"]),
@@ -68,7 +69,7 @@ def convert_visual_trunk(sd: Dict[str, Any], prefix="backbone.clip_model.visual.
         },
         "stem_norm": norm(sd[prefix + "stem.1.weight"], sd[prefix + "stem.1.bias"]),
     }
-    for i, depth in enumerate(CONVNEXT_LARGE_DEPTHS):
+    for i, depth in enumerate(depths):
         stage: Dict[str, Any] = {}
         if i > 0:
             stage["downsample_norm"] = norm(

@@ -155,23 +155,55 @@ class FCCLIP(nn.Module):
 
     geometric_ensemble_alpha: float = 0.4
     geometric_ensemble_beta: float = 0.8
+    # architecture dims: defaults are the released convnext_large_d_320
+    # FC-CLIP; overridable for small test instantiations
+    trunk_depths: Any = None
+    trunk_dims: Any = None
+    clip_embed_dim: int = CLIP_EMBED_DIM
+    conv_dim: int = 256
+    mask_dim: int = 256
+    num_queries: int = 250
+    dec_layers: int = 9
+    enc_layers: int = 6
+    n_heads: int = 8
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, image, text_classifier, num_templates, category_overlap):
+        from openess_tpu.models.fcclip.backbone import (
+            CONVNEXT_LARGE_DEPTHS,
+            CONVNEXT_LARGE_DIMS,
+        )
+
+        depths = self.trunk_depths or CONVNEXT_LARGE_DEPTHS
+        dims = self.trunk_dims or CONVNEXT_LARGE_DIMS
         mean = jnp.asarray(PIXEL_MEAN, jnp.float32)
         std = jnp.asarray(PIXEL_STD, jnp.float32)
         x = (image.astype(jnp.float32) - mean) / std
 
-        visual = ConvNeXtCLIPVisual(dtype=self.dtype, name="visual")
-        projection = CLIPVisualProjection(dtype=self.dtype, name="visual_proj")
-        pixel_decoder = MSDeformAttnPixelDecoder(
-            dtype=self.dtype, name="pixel_decoder"
+        visual = ConvNeXtCLIPVisual(
+            depths=tuple(depths), dims=tuple(dims),
+            embed_dim=self.clip_embed_dim, dtype=self.dtype, name="visual",
         )
-        decoder = FCCLIPTransformerDecoder(dtype=self.dtype, name="decoder")
+        projection = CLIPVisualProjection(
+            trunk_dim=dims[-1], embed_dim=self.clip_embed_dim,
+            dtype=self.dtype, name="visual_proj",
+        )
+        pixel_decoder = MSDeformAttnPixelDecoder(
+            in_channels=tuple(dims), conv_dim=self.conv_dim,
+            mask_dim=self.mask_dim, n_heads=self.n_heads,
+            enc_layers=self.enc_layers, dtype=self.dtype,
+            name="pixel_decoder",
+        )
+        decoder = FCCLIPTransformerDecoder(
+            hidden_dim=self.conv_dim, num_queries=self.num_queries,
+            n_heads=self.n_heads, dec_layers=self.dec_layers,
+            mask_dim=self.mask_dim, clip_embedding_dim=self.clip_embed_dim,
+            dtype=self.dtype, name="decoder",
+        )
         void_embedding = self.param(
             "void_embedding", nn.initializers.normal(0.02),
-            (1, CLIP_EMBED_DIM), jnp.float32,
+            (1, self.clip_embed_dim), jnp.float32,
         )
         clip_logit_scale = self.param(
             "clip_logit_scale",

