@@ -278,13 +278,21 @@ def bench_train_step(rng):
     state, losses = train_step(state, batch, rng_key, epoch)  # compile
     float(losses["total_loss"])
 
-    # FLOPs via XLA cost analysis (best effort across backends)
+    # FLOPs: XLA cost analysis counts the E2VID scan BODY ONCE, not x20
+    # (docs/ROOFLINE.md) — correct it with the analytic per-window count
     flops = None
     try:
+        from openess_tpu.utils.flops import e2vid_window_flops
+
         ca = train_step.lower(state, batch, rng_key, epoch).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0)) or None
+        if flops:
+            h, w = s.img_size_b
+            flops += (s.nr_events_data_b - 1) * e2vid_window_flops(
+                B, int(h), int(w), num_bins=s.nr_temporal_bins_b
+            )
     except Exception:
         pass
 

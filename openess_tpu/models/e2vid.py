@@ -57,6 +57,12 @@ class ConvTranspose2dTorch(nn.Module):
         )
         pad_lo = k - 1 - p
         pad_hi = k - 1 - p + op
+        # HIGHEST only matters for f32 inputs (keeps the torch-parity
+        # tolerance); under bf16 compute the inputs are already rounded and
+        # HIGHEST would force a slow multi-pass algorithm for nothing
+        prec = (
+            None if self.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+        )
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             jnp.flip(w, axis=(0, 1)).astype(self.dtype),
@@ -64,7 +70,7 @@ class ConvTranspose2dTorch(nn.Module):
             padding=[(pad_lo, pad_hi), (pad_lo, pad_hi)],
             lhs_dilation=(2, 2),
             dimension_numbers=("NHWC", "HWOI", "NHWC"),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -272,6 +278,9 @@ class E2VIDReconstructor(nn.Module):
     base_num_channels: int = 32
     dtype: Any = jnp.float32
     planar_input: bool = False
+    # scan unroll factor: >1 lets XLA software-pipeline the small per-window
+    # convs across recurrence steps
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, windows: Array):
@@ -299,6 +308,7 @@ class E2VIDReconstructor(nn.Module):
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,
+            unroll=self.unroll,
         )(
             self.num_bins, self.normalize, self.dtype,
             planar=self.planar_input, name="step",
