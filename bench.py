@@ -241,17 +241,12 @@ def make_host_batch(rng, s, B, raw_events=None):
 
         if raw_events is None:
             raw_events = make_raw_events(rng, B, T)
-        xq, yq, pq, tr, cnts, r0s, trange = chunk_events_windows_host(
+        from openess_tpu.data.device_voxelize import pack_wire_batch
+
+        wire = chunk_events_windows_host(
             *raw_events, height=480, width=640, n_threads=0
         )
-        nbc, e = xq.shape[1], xq.shape[2]
-        batch["ev_x"] = xq.reshape(B, T, nbc, e)
-        batch["ev_y"] = yq.reshape(B, T, nbc, e)
-        batch["ev_p"] = pq.reshape(B, T, nbc, e)
-        batch["ev_t"] = tr.reshape(B, T, nbc, e)
-        batch["ev_counts"] = cnts.reshape(B, T, nbc)
-        batch["ev_r0"] = r0s.reshape(B, T, nbc)
-        batch["ev_trange"] = trange.reshape(B, T)
+        batch.update(pack_wire_batch(wire, B, T))
     else:
         # planar [B, T, bins, H, W] grid wire
         batch["event"] = rng.normal(0, 0.5, (B, T, bins, H, W)).astype(
@@ -391,18 +386,9 @@ def bench_pipeline(train_step, state, host_batch, assemble, s):
     def make_device_batch():
         out = assemble()
         if s.wire_format == "raw_events":
-            xq, yq, pq, tr, cnts, r0s, trange = out
-            nbc, e = xq.shape[1], xq.shape[2]
-            hb = dict(
-                host_batch,
-                ev_x=xq.reshape(B, T, nbc, e),
-                ev_y=yq.reshape(B, T, nbc, e),
-                ev_p=pq.reshape(B, T, nbc, e),
-                ev_t=tr.reshape(B, T, nbc, e),
-                ev_counts=cnts.reshape(B, T, nbc),
-                ev_r0=r0s.reshape(B, T, nbc),
-                ev_trange=trange.reshape(B, T),
-            )
+            from openess_tpu.data.device_voxelize import pack_wire_batch
+
+            hb = dict(host_batch, **pack_wire_batch(out, B, T))
         else:
             ev = out  # [B*T, bins, 440, 640] planar wire format
             ev = ev.reshape((B, -1) + ev.shape[1:])

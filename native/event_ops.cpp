@@ -429,10 +429,12 @@ void chunk_events_windows(
         const double ti = tw[i];
         if (!any_valid) { t_first = t_last = ti; any_valid = true; }
         else { t_first = std::min(t_first, ti); t_last = std::max(t_last, ti); }
-        double qx = std::nearbyint((double)xw[i] * kFp);
-        double qy = std::nearbyint((double)yw[i] * kFp);
-        qx = std::min(std::max(qx, -32768.0), 32767.0);
-        qy = std::min(std::max(qy, -32768.0), 32767.0);
+        // f32 x * 32 is exact (mantissa shift), so rounding in float matches
+        // the numpy reference's float64 round-half-even bit for bit
+        float qx = std::nearbyintf(xw[i] * (float)kFp);
+        float qy = std::nearbyintf(yw[i] * (float)kFp);
+        qx = std::min(std::max(qx, -32768.f), 32767.f);
+        qy = std::min(std::max(qy, -32768.f), 32767.f);
         const int32_t xi = (int32_t)qx, yi = (int32_t)qy;
         bool keep;
         if (integer_coords) {

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from openess_tpu.config.settings import Settings
 
@@ -32,11 +33,48 @@ def has_wire(batch) -> bool:
     return "ev_x" in batch
 
 
-def voxelize_wire(s: Settings, batch) -> jax.Array:
+def pack_wire_batch(wire, batch_size: int, num_windows: int) -> dict:
+    """Chunker output tuple -> the ev_* batch keys (the ONE place that knows
+    the wire-dict layout; datasets/bench call this)."""
+    xq, yq, pq, tr, counts, r0s, trange = wire
+    nbc, e = xq.shape[1], xq.shape[2]
+    b, t = batch_size, num_windows
+    return {
+        "ev_x": xq.reshape(b, t, nbc, e),
+        "ev_y": yq.reshape(b, t, nbc, e),
+        "ev_p": pq.reshape(b, t, nbc, e),
+        "ev_t": tr.reshape(b, t, nbc, e),
+        "ev_counts": counts.reshape(b, t, nbc),
+        "ev_r0": r0s.reshape(b, t, nbc),
+        "ev_trange": trange.reshape(b, t),
+    }
+
+
+def voxelize_wire(s: Settings, batch, mesh=None) -> jax.Array:
     """Chunked wire -> planar ``[B, T, C, H_out, W_out]`` voxel windows with
     the dataset's post-ops fused in (DSEC 40-row bottom crop; DDD17
     align-corners resize 346->352 + 60-row crop), matching the host 'grid'
-    wire bit-for-semantics (bf16-matmul tolerance)."""
+    wire bit-for-semantics (bf16-matmul tolerance).
+
+    With a multi-device ``mesh``, the whole computation runs under
+    ``shard_map`` over the data axis: GSPMD has no SPMD rule for the Mosaic
+    custom call, so without this it would all-gather the global wire and
+    voxelize the full batch on every chip.
+    """
+    if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        args = tuple(batch[k] for k in WIRE_KEYS)
+        local = shard_map(
+            lambda *a: voxelize_wire(s, dict(zip(WIRE_KEYS, a))),
+            mesh=mesh,
+            in_specs=(P("data"),) * len(WIRE_KEYS),
+            out_specs=P("data"),
+            check_rep=False,
+        )
+        return local(*args)
+
     from openess_tpu.ops.voxelize_chunked import (
         voxelize_chunked_bilinear_t,
         voxelize_chunked_trilinear,

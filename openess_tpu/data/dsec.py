@@ -316,15 +316,9 @@ class DSECDataset:
                     np.stack([e[4] for e in ev]).reshape(B * T, K),
                     height=H, width=W, n_threads=s.num_cpu_workers,
                 )
-                xq, yq, pq, tr, cnts, r0s, trange = wire
-                nbc, E = xq.shape[1], xq.shape[2]
-                batch["ev_x"] = xq.reshape(B, T, nbc, E)
-                batch["ev_y"] = yq.reshape(B, T, nbc, E)
-                batch["ev_p"] = pq.reshape(B, T, nbc, E)
-                batch["ev_t"] = tr.reshape(B, T, nbc, E)
-                batch["ev_counts"] = cnts.reshape(B, T, nbc)
-                batch["ev_r0"] = r0s.reshape(B, T, nbc)
-                batch["ev_trange"] = trange.reshape(B, T)
+                from openess_tpu.data.device_voxelize import pack_wire_batch
+
+                batch.update(pack_wire_batch(wire, B, T))
             elif s.host_voxelize:
                 # one native call voxelizes all B*T windows, parallel across
                 # windows (num_cpu_workers threads), with the nonzero

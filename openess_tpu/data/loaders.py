@@ -42,9 +42,11 @@ def build_datasets(s: Settings):
 
 
 def _with_get_batch(ds, s: Settings):
+    from openess_tpu.training.build import VOXEL_OPTIONS
+
     if not hasattr(ds, "get_batch"):
         bins = s.nr_temporal_bins_b
-        needs_events = s.config_option in ("recon2voxel", "frame2voxel")
+        needs_events = s.config_option in VOXEL_OPTIONS
         if needs_events and s.wire_format == "raw_events":
             ds.get_batch = lambda idx: ds.raw_wire_batch(list(idx), num_bins=bins)
         else:

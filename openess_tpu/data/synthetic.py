@@ -139,15 +139,9 @@ class SyntheticESS:
             cat(xs), cat(ys), cat(ps), cat(ts).astype(np.float64), cat(vs),
             height=self.height, width=self.width,
         )
-        xq, yq, pq, tr, cnts, r0s, trange = wire
-        nbc, e = xq.shape[1], xq.shape[2]
-        batch["ev_x"] = xq.reshape(B, T, nbc, e)
-        batch["ev_y"] = yq.reshape(B, T, nbc, e)
-        batch["ev_p"] = pq.reshape(B, T, nbc, e)
-        batch["ev_t"] = tr.reshape(B, T, nbc, e)
-        batch["ev_counts"] = cnts.reshape(B, T, nbc)
-        batch["ev_r0"] = r0s.reshape(B, T, nbc)
-        batch["ev_trange"] = trange.reshape(B, T)
+        from openess_tpu.data.device_voxelize import pack_wire_batch
+
+        batch.update(pack_wire_batch(wire, B, T))
         return batch
 
     def voxelized_batch(self, indices, num_bins: int = 5) -> dict:

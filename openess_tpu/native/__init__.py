@@ -23,14 +23,18 @@ def _try_load():
     global _lib
     if _lib is not None:
         return _lib
+    # always run make: the Makefile's dependency tracking rebuilds a STALE
+    # .so (built from an older event_ops.cpp missing newer symbols) — a
+    # failed build with an existing .so still gets the binding guard below
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-s"],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        pass
     if not os.path.exists(_SO_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR, "-s"],
-                check=True, capture_output=True, timeout=120,
-            )
-        except Exception:
-            return None
+        return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
@@ -40,6 +44,17 @@ def _try_load():
     i32 = ctypes.c_int
     fp = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     ip = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    try:
+        _bind(lib, fp, ip, i64, i32)
+    except AttributeError:
+        # stale .so missing a newer symbol AND the rebuild failed: degrade
+        # to the numpy fallbacks rather than crashing every native call
+        return None
+    _lib = lib
+    return lib
+
+
+def _bind(lib, fp, ip, i64, i32):
     lib.voxelize_trilinear.argtypes = [fp, fp, fp, fp, i64, i32, i32, i32, fp]
     lib.voxelize_trilinear_mt.argtypes = [
         fp, fp, fp, fp, i64, i32, i32, i32, fp, i32
@@ -66,8 +81,6 @@ def _try_load():
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
     lib.normalize_nonzero_inplace.argtypes = [fp, i64]
-    _lib = lib
-    return lib
 
 
 HAVE_NATIVE = _try_load() is not None

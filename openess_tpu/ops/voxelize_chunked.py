@@ -152,7 +152,8 @@ def chunk_events_window(
         assert n <= chunk and ci < nbc, (n, ci, nbc)
         xq_o[ci, :n] = xq[a:b]
         yq_o[ci, :n] = yq[a:b]
-        pq_o[ci, :n] = pk[a:b]
+        pq_o[ci, :n] = (pk[a:b] > 0)  # same predicate as the C++ twin
+        # (handles ±1 polarity encodings; raw float-into-uint8 would wrap)
         tr_o[ci, :n] = trel[a:b]
         counts[ci] = n
         tile_r0[ci] = tile[a] * TILE_ROWS

@@ -56,10 +56,14 @@ def _pool(feats, seg, segments_per_image, use_pallas):
 class StepBuilder:
     """Builds jitted train/eval steps for a configured workload."""
 
-    def __init__(self, settings: Settings, mset: ModelSet, tx=None):
+    def __init__(self, settings: Settings, mset: ModelSet, tx=None,
+                 mesh=None):
         self.s = settings
         self.mset = mset
         self.tx = tx
+        # multi-device mesh: the raw-wire voxelizer runs under shard_map so
+        # GSPMD never has to partition the Mosaic custom call itself
+        self.mesh = mesh
         self.use_pallas_pool = jax.default_backend() not in ("cpu",)
 
     # ---------------- forward helpers ----------------
@@ -101,7 +105,7 @@ class StepBuilder:
             return batch["event"]
         from openess_tpu.data.device_voxelize import voxelize_wire
 
-        return voxelize_wire(self.s, batch)
+        return voxelize_wire(self.s, batch, mesh=self.mesh)
 
     def _event_path(self, params, bstats, batch, train, rng):
         """E2VID scan -> (detached) latent -> SemSegE2VID head.

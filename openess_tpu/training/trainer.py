@@ -57,7 +57,7 @@ class Trainer:
             1, len(dataset_train) // settings.batch_size_b
         )
         self.tx = make_optimizer(settings, labels, self.steps_per_epoch)
-        self.sb = StepBuilder(settings, self.mset, self.tx)
+        self.sb = StepBuilder(settings, self.mset, self.tx, mesh=self.mesh)
         self.train_step = self.sb.make_train_step()
         self.eval_step = self.sb.make_eval_step()
 
