@@ -225,13 +225,15 @@ def test_maskclip_extractor_shapes(rng):
 @pytest.fixture(scope="module")
 def ref_style():
     # style_networks imports torchvision at module top but SemSegE2VID never
-    # touches it; stub it (torchvision is not in this image)
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tvm = types.ModuleType("torchvision.models")
-        tv.models = tvm
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.models"] = tvm
+    # touches it; stub it (torchvision is not in this image). Overwrite
+    # unconditionally: test_fcclip installs a bare non-package 'torchvision'
+    # stub that would break `import torchvision.models`.
+    tv = types.ModuleType("torchvision")
+    tv.__path__ = []  # mark as package
+    tvm = types.ModuleType("torchvision.models")
+    tv.models = tvm
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tvm
     # it also does `from models.submodules import ...`: expose the reference
     # models dir as the 'models' package
     _load("models.submodules", f"{REF}/models/submodules.py", f"{REF}/models")
