@@ -39,15 +39,19 @@ data_ax, model_ax = %(data)d, %(model)d
 H, W, C = 16, 32, 6
 s = Settings(); s.img_size_b = (H, W); s.semseg_num_classes = C
 s.nr_events_data_b = 2; s.compute_dtype = "float32"
-s.if_supervised_only = True; s.config_option = "frame2recon"
+s.if_supervised_only = True; s.config_option = %(config_option)r
+s.dataset_name_b = "synthetic_events"
 s.data_augmentation_train = False; s.__post_init__()
 mset = build_models(s, seed=0)
 labels = trainable_labels(mset, s)
 tx = make_optimizer(s, labels, steps_per_epoch=4)
-step = StepBuilder(s, mset, tx).make_train_step()
-ds = SyntheticESS(num_samples=8, height=H, width=W, num_classes=C, num_windows=2)
-batch = ds.voxelized_batch(list(range(8)))
 mesh = make_mesh(data_ax, model_ax)
+step = StepBuilder(s, mset, tx, mesh=mesh).make_train_step()
+ds = SyntheticESS(num_samples=8, height=H, width=W, num_classes=C, num_windows=2)
+if %(raw_wire)s:
+    batch = ds.raw_wire_batch(list(range(8)))
+else:
+    batch = ds.voxelized_batch(list(range(8)))
 params = shard_params_tp(mset.params, mesh)
 state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
                    batch_stats=replicate(mset.batch_stats, mesh),
@@ -61,10 +65,12 @@ print("RESULT " + json.dumps(hist))
 """
 
 
-def run_mesh_subprocess(data_ax, model_ax, spatial=False, retries=2):
+def run_mesh_subprocess(data_ax, model_ax, spatial=False, retries=2,
+                        config_option="frame2recon", raw_wire=False):
     code = RUNNER % {
         "repo": "/root/repo", "data": data_ax, "model": model_ax,
-        "spatial": spatial,
+        "spatial": spatial, "config_option": config_option,
+        "raw_wire": raw_wire,
     }
     last = None
     for _ in range(retries + 1):
@@ -147,3 +153,18 @@ def test_tp_actually_shards_wide_kernels():
         if "model" in (l.sharding.spec or ())
     )
     assert sharded / nbytes(params) > 0.5, sharded / nbytes(params)
+
+
+@pytest.mark.slow
+def test_raw_wire_voxel_path_spatial_and_tp_meshes():
+    """The PRODUCTION combination: flagship voxel path on the raw-event wire
+    (shard_map'd Pallas voxelizer inside the sharded step) under both
+    channel-TP and spatial partitioning, matching the single-device run."""
+    kw = dict(config_option="recon2voxel", raw_wire=True)
+    hist_1 = run_mesh_subprocess(1, 1, **kw)
+    hist_tp = run_mesh_subprocess(2, 2, **kw)
+    hist_sp = run_mesh_subprocess(2, 2, spatial=True, **kw)
+    np.testing.assert_allclose(hist_tp[0], hist_1[0], rtol=1e-4)
+    np.testing.assert_allclose(hist_sp[0], hist_1[0], rtol=1e-4)
+    np.testing.assert_allclose(hist_tp[1], hist_1[1], rtol=1e-2)
+    np.testing.assert_allclose(hist_sp[1], hist_1[1], rtol=1e-2)
