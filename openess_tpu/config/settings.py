@@ -277,6 +277,9 @@ def load_settings(settings_yaml: str, generate_log: bool = False) -> Settings:
         s.log_dir = log_dir
     else:
         s.ckpt_dir = os.path.join(s.log_dir, "checkpoints")
-        s.vis_dir = os.path.join(s.log_dir, "visualization")
+        # no log-dir side effects in this mode: leave vis_dir empty so the
+        # trainer skips qualitative dumps instead of writing into a
+        # directory that was never created (test.py eval runs)
+        s.vis_dir = ""
         s.logger = logging.getLogger("openess_tpu")
     return s
