@@ -349,3 +349,40 @@ def test_ddd17_raw_wire_matches_host_grid(ddd17_root):
     assert got.shape == ref.shape == (2, 2, 10, 200, 352)
     err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     assert err < 2e-2, err
+
+
+def test_event_file_readers(tmp_path):
+    """Generic .txt/.zip event-stream windowing (e2vid/utils/
+    event_readers.py semantics): fixed-count chunks and fixed-duration
+    windows that close when an event exceeds first_stamp + duration."""
+    import zipfile
+
+    from openess_tpu.data.event_file_readers import (
+        fixed_duration_event_windows,
+        fixed_size_event_windows,
+    )
+
+    # 10 events at t = 0.00, 0.01, ..., 0.09 s
+    lines = ["240 180"] + [
+        f"{i/100:.6f} {i} {i * 2} {i % 2}" for i in range(10)
+    ]
+    txt = tmp_path / "events.txt"
+    txt.write_text("\n".join(lines) + "\n")
+
+    wins = list(fixed_size_event_windows(str(txt), num_events=4))
+    assert [w.shape[0] for w in wins] == [4, 4, 2]
+    np.testing.assert_allclose(wins[0][:, 0], [0.0, 0.01, 0.02, 0.03])
+    np.testing.assert_allclose(wins[1][0], [0.04, 4, 8, 0])
+
+    # 25 ms windows: close when t > first + 0.025
+    wins = list(fixed_duration_event_windows(str(txt), duration_ms=25.0))
+    assert [w.shape[0] for w in wins] == [3, 3, 3]  # trailing partial dropped
+    np.testing.assert_allclose(wins[1][:, 0], [0.03, 0.04, 0.05])
+
+    # zip flavor
+    zp = tmp_path / "events.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.write(txt, "events.txt")
+    wins_zip = list(fixed_duration_event_windows(str(zp), duration_ms=25.0))
+    assert len(wins_zip) == 3
+    np.testing.assert_allclose(wins_zip[0], wins[0])

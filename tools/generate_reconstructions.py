@@ -24,14 +24,33 @@ from PIL import Image
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--root", required=True, help="DSEC root (train/ + test/)")
+    ap.add_argument("--root", help="DSEC root (train/ + test/)")
     ap.add_argument("--e2vid_ckpt", required=True,
                     help="E2VID_lightweight.pth.tar")
     ap.add_argument("--nr_windows", type=int, default=20)
     ap.add_argument("--events_per_window", type=int, default=100000)
     ap.add_argument("--shard", type=int, default=0)
     ap.add_argument("--num_shards", type=int, default=1)
+    # generic event-file mode (reference run_reconstruction.py over
+    # .txt/.zip streams, fixed-count or fixed-duration windows)
+    ap.add_argument("--events_file", help=".txt/.zip event stream "
+                    "(t x y pol rows; header line)")
+    ap.add_argument("--output_dir", help="PNG output dir for --events_file")
+    ap.add_argument("--height", type=int, default=180)
+    ap.add_argument("--width", type=int, default=240)
+    ap.add_argument("--fixed_duration", action="store_true")
+    ap.add_argument("--window_duration", type=float, default=33.33,
+                    help="ms per window (--fixed_duration)")
+    ap.add_argument("--num_events_per_pixel", type=float, default=0.35,
+                    help="fixed-count window size = H*W*this "
+                         "(run_reconstruction.py convention)")
     args = ap.parse_args()
+
+    if args.events_file:
+        reconstruct_event_file(args)
+        return
+    if not args.root:
+        ap.error("--root is required (or use --events_file)")
 
     import jax
     import jax.numpy as jnp
@@ -93,6 +112,62 @@ def main():
             Image.fromarray(rgb).save(op)
             if i % 20 == 0:
                 print(f"[{args.shard}] {seq_dir.name} {i}/{len(seq)}")
+
+
+def reconstruct_event_file(args):
+    """Stream mode (run_reconstruction.py): carry ConvLSTM state across the
+    WHOLE file, one reconstruction PNG per window."""
+    import jax
+    import jax.numpy as jnp
+
+    from openess_tpu.data.event_file_readers import (
+        fixed_duration_event_windows,
+        fixed_size_event_windows,
+    )
+    from openess_tpu.models.e2vid import (
+        UNetRecurrent,
+        normalize_event_window,
+    )
+    from openess_tpu.models.torch_convert import load_e2vid_checkpoint
+    from openess_tpu.native import voxelize_trilinear_host
+    from openess_tpu.utils.image_filters import intensity_rescale, unsharp_mask
+
+    H, W = args.height, args.width
+    out_dir = Path(args.output_dir or "reconstructions_out")
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    unet = UNetRecurrent(dtype=jnp.bfloat16)
+    variables = {"params": load_e2vid_checkpoint(args.e2vid_ckpt)}
+
+    @jax.jit
+    def step(win, states):
+        win = normalize_event_window(win)
+        img, states, _ = unet.apply(variables, win, states)
+        return jnp.clip(img[..., 0], 0, 1), states
+
+    if args.fixed_duration:
+        windows = fixed_duration_event_windows(
+            args.events_file, duration_ms=args.window_duration
+        )
+    else:
+        n = int(args.num_events_per_pixel * H * W)
+        windows = fixed_size_event_windows(args.events_file, num_events=n)
+
+    states = None
+    for i, ev in enumerate(windows):
+        if ev.shape[0] == 0:
+            continue
+        t, x, y, pol = ev[:, 0], ev[:, 1], ev[:, 2], ev[:, 3]
+        grid = voxelize_trilinear_host(x, y, pol, t, 5, H, W)
+        win = jnp.asarray(grid.transpose(1, 2, 0)[None], jnp.float32)
+        img, states = step(win, states)
+        img = np.asarray(img)[0]
+        img = unsharp_mask(intensity_rescale(img), amount=0.3, sigma=1.0)
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            out_dir / f"frame_{i:010d}.png"
+        )
+        if i % 50 == 0:
+            print(f"{i} windows -> {out_dir}")
 
 
 if __name__ == "__main__":
