@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from openess_tpu.config.settings import Settings
 
@@ -61,7 +60,7 @@ def voxelize_wire(s: Settings, batch, mesh=None) -> jax.Array:
     custom call, so without this it would all-gather the global wire and
     voxelize the full batch on every chip.
     """
-    if mesh is not None and np.prod(list(mesh.shape.values())) > 1:
+    if mesh is not None and mesh.size > 1:
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 

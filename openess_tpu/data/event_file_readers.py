@@ -27,10 +27,9 @@ def _open_text(path: str):
 def fixed_size_event_windows(
     path: str, num_events: int = 10_000, start_index: int = 0
 ) -> Iterator[np.ndarray]:
-    """Non-overlapping windows of exactly ``num_events`` events
-    (event_readers.py:8-29; the trailing partial window is dropped, matching
-    pandas' chunk iterator only when the file length is a multiple — the
-    reference emits the partial chunk, so we do too)."""
+    """Non-overlapping windows of ``num_events`` events
+    (event_readers.py:8-29); the trailing partial chunk is emitted, matching
+    pandas' chunk iterator (the reference's reader)."""
     import pandas as pd
 
     it = pd.read_csv(
@@ -46,9 +45,12 @@ def fixed_size_event_windows(
 def fixed_duration_event_windows(
     path: str, duration_ms: float = 50.0, start_index: int = 0
 ) -> Iterator[np.ndarray]:
-    """Non-overlapping windows of fixed duration
-    (event_readers.py:32-79 semantics: a window closes when an event's
-    timestamp exceeds ``first_stamp + duration``)."""
+    """Non-overlapping windows of fixed duration, exactly the reference's
+    semantics (event_readers.py:71-85): each event is appended BEFORE the
+    duration check, so the boundary event closes — and is included in — the
+    emitted window; ``last_stamp`` then jumps to that event's time. Trailing
+    events that never exceed the duration are dropped (as in the
+    reference)."""
     dur_s = duration_ms / 1000.0
     f = _open_text(path)
     try:
@@ -58,15 +60,13 @@ def fixed_duration_event_windows(
         for line in f:
             t, x, y, pol = line.split()
             t = float(t)
-            row = (t, float(x), float(y), float(pol))
+            window.append((t, float(x), float(y), float(pol)))
             if last_stamp is None:
                 last_stamp = t
             if t > last_stamp + dur_s:
-                out = np.array(window, np.float64)
-                window = [row]
                 last_stamp = t
+                out = np.array(window, np.float64)
+                window = []
                 yield out
-            else:
-                window.append(row)
     finally:
         f.close()

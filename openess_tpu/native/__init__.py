@@ -17,12 +17,14 @@ _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "libevent_ops.so")
 
 _lib = None
+_load_attempted = False
 
 
 def _try_load():
-    global _lib
-    if _lib is not None:
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
         return _lib
+    _load_attempted = True
     # always run make: the Makefile's dependency tracking rebuilds a STALE
     # .so (built from an older event_ops.cpp missing newer symbols) — a
     # failed build with an existing .so still gets the binding guard below

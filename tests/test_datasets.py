@@ -374,10 +374,13 @@ def test_event_file_readers(tmp_path):
     np.testing.assert_allclose(wins[0][:, 0], [0.0, 0.01, 0.02, 0.03])
     np.testing.assert_allclose(wins[1][0], [0.04, 4, 8, 0])
 
-    # 25 ms windows: close when t > first + 0.025
+    # 25 ms windows: the boundary event closes AND belongs to the window
+    # (reference appends before the duration check); trailing partials drop
     wins = list(fixed_duration_event_windows(str(txt), duration_ms=25.0))
-    assert [w.shape[0] for w in wins] == [3, 3, 3]  # trailing partial dropped
-    np.testing.assert_allclose(wins[1][:, 0], [0.03, 0.04, 0.05])
+    assert [w.shape[0] for w in wins] == [4, 3, 3]
+    np.testing.assert_allclose(wins[0][:, 0], [0.0, 0.01, 0.02, 0.03])
+    np.testing.assert_allclose(wins[1][:, 0], [0.04, 0.05, 0.06])
+    np.testing.assert_allclose(wins[2][:, 0], [0.07, 0.08, 0.09])
 
     # zip flavor
     zp = tmp_path / "events.zip"

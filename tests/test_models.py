@@ -150,3 +150,34 @@ def test_teacher_shapes_and_normalization(rng):
     assert feat.shape == (B, H, W, 256)
     norms = np.linalg.norm(np.asarray(feat), axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_unet_on_reflect_padded_nonmultiple_size():
+    """The generic reconstruction tool pads arbitrary sensor sizes to the
+    next multiple of 2^num_encoders (CropParameters parity) — the classic
+    e2vid 240x180 resolution must flow through the UNet after padding and
+    crop back exactly (it crashes unpadded: 180/8 is fractional)."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from openess_tpu.models.e2vid import UNetRecurrent
+
+    H, W = 180, 240
+    Hc = math.ceil(H / 8) * 8  # 184
+    Wc = math.ceil(W / 8) * 8  # 240
+    pt = math.ceil(0.5 * (Hc - H)); pb = Hc - H - pt
+    pl_ = math.ceil(0.5 * (Wc - W)); pr = Wc - W - pl_
+    unet = UNetRecurrent()
+    win = jnp.zeros((1, H, W, 5))
+    padded = jnp.pad(win, ((0, 0), (pt, pb), (pl_, pr), (0, 0)), mode="reflect")
+    assert padded.shape == (1, Hc, Wc, 5)
+    img_shape = jax.eval_shape(
+        lambda v, x: unet.apply(v, x, None),
+        jax.eval_shape(unet.init, jax.random.key(0), padded), padded,
+    )[0]
+    assert img_shape.shape == (1, Hc, Wc, 1)
+    cy, cx = Hc // 2, Wc // 2
+    iy0, ix0 = cy - H // 2, cx - W // 2
+    assert (iy0 + H <= Hc) and (ix0 + W <= Wc)

@@ -139,11 +139,28 @@ def reconstruct_event_file(args):
     unet = UNetRecurrent(dtype=jnp.bfloat16)
     variables = {"params": load_e2vid_checkpoint(args.e2vid_ckpt)}
 
+    # CropParameters parity (inference_utils.py:284-311): reflection-pad to
+    # the next multiple of 2^num_encoders (ceil on top/left), center-crop
+    # the reconstruction back
+    import math
+
+    def crop_size(v, n=3):
+        return int(math.ceil(v / 2**n) * 2**n)
+
+    Hc, Wc = crop_size(H), crop_size(W)
+    pt = math.ceil(0.5 * (Hc - H)); pb = Hc - H - pt
+    plft = math.ceil(0.5 * (Wc - W)); prt = Wc - W - plft
+    cy, cx = Hc // 2, Wc // 2
+    iy0, iy1 = cy - H // 2, cy - H // 2 + H
+    ix0, ix1 = cx - W // 2, cx - W // 2 + W
+
     @jax.jit
     def step(win, states):
         win = normalize_event_window(win)
+        win = jnp.pad(win, ((0, 0), (pt, pb), (plft, prt), (0, 0)),
+                      mode="reflect")
         img, states, _ = unet.apply(variables, win, states)
-        return jnp.clip(img[..., 0], 0, 1), states
+        return jnp.clip(img[:, iy0:iy1, ix0:ix1, 0], 0, 1), states
 
     if args.fixed_duration:
         windows = fixed_duration_event_windows(
