@@ -460,23 +460,28 @@ void chunk_events_windows(
       for (int c = 0; c < nbc; ++c) { cntw[c] = 0; r0w[c] = 0; }
       if (n_kept == 0) continue;
 
-      // chunk layout: tile ti occupies ceil(cnt/chunk) consecutive chunks
+      // chunk layout: tile ti occupies ceil(cnt/chunk) consecutive chunks.
+      // nbc from num_chunks() provably suffices; the guard below protects
+      // against a caller passing a too-small nbc (drop instead of writing
+      // out of bounds).
       int32_t cchunk = 0;
-      int64_t run = 0;
       for (int ti_le = 0; ti_le < n_tiles; ++ti_le) {
         tile_first_chunk[ti_le] = cchunk;
         tile_pos[ti_le] = 0;
         const int64_t cnt = tile_cnt[ti_le];
         if (cnt == 0) continue;
-        const int32_t nc = (int32_t)((cnt + chunk - 1) / chunk);
+        int32_t nc = (int32_t)((cnt + chunk - 1) / chunk);
+        if (cchunk + nc > nbc) nc = std::max(nbc - cchunk, 0);
+        // tile_cnt becomes the tile's placement CAPACITY for pass 2 (equals
+        // or exceeds cnt except when capped)
+        tile_cnt[ti_le] = std::min<int64_t>(cnt, (int64_t)nc * chunk);
         for (int32_t c = 0; c < nc; ++c) {
           const int64_t in_chunk =
-              std::min<int64_t>(chunk, cnt - (int64_t)c * chunk);
-          cntw[cchunk + c] = (int32_t)in_chunk;
+              std::min<int64_t>(chunk, tile_cnt[ti_le] - (int64_t)c * chunk);
+          cntw[cchunk + c] = (int32_t)std::max<int64_t>(in_chunk, 0);
           r0w[cchunk + c] = ti_le * kTile;
         }
         cchunk += nc;
-        run += cnt;
       }
       // padding chunks repeat the last tile's row offset
       for (int32_t c = cchunk; c < nbc; ++c) r0w[c] = r0w[cchunk - 1];
@@ -485,6 +490,7 @@ void chunk_events_windows(
       for (int64_t e = 0; e < n_kept; ++e) {
         const int32_t ti_le = tile[e];
         const int64_t pos = tile_pos[ti_le]++;
+        if (pos >= tile_cnt[ti_le]) continue;  // capacity guard (capped nbc)
         const int64_t slot =
             ((int64_t)tile_first_chunk[ti_le] + pos / chunk) * chunk +
             pos % chunk;

@@ -1,16 +1,19 @@
 """DSEC-Semantic dataset (reference: DSEC/dataset/sequence_ov.py,
 DSEC/dataset/provider.py, datasets/DSEC_events_loader.py).
 
-Host side reads h5 events + PNG side-channels; voxelization runs on device
-through the fused windowed kernel (ops/voxelize.py) instead of the
-reference's per-sample 8-thread joblib fan-out (sequence_ov.py:304-305).
+Host side reads h5 events + PNG side-channels. Event delivery, by
+``tpu.wire_format``:
+- ``raw_events`` (production default): the host counting-sorts events into
+  the compact sorted-chunk wire (ev_* keys, 9 B/event — see
+  data/device_voxelize.py) and the jitted step voxelizes on-device at
+  ~280 Mev/s;
+- ``grid``: host voxelization (native C++ batched kernel, or a device
+  pre-pass) shipping planar [B,T,bins,H,W] grids — the reference's
+  per-sample 8-thread joblib fan-out (sequence_ov.py:304-305) equivalent.
 
-Sample contract (per ``get_batch``) matches ``training/steps.py``:
-  event [B,T,bins,H,W] (planar TPU wire format; the jitted step moves
-  bins to the NHWC channel position on device — a bins-minor host layout
-  would force XLA to pad 5 -> 128 lanes on the entry buffer)
-  / frame / recon [B,H,W,3] / label / pl / superpixel
-  [B,H,W] int32 / sam_feat [B,64,64,256].
+Common sample contract (per ``get_batch``, training/steps.py):
+  frame / recon [B,H,W,3] / label / pl / superpixel [B,H,W] int32 /
+  sam_feat [B,64,64,256].
 """
 from __future__ import annotations
 

@@ -364,6 +364,9 @@ def voxelize_chunked_trilinear(
     c = num_bins
     w_pad = -(-width // 128) * 128
     h_pad = (-(-height // TILE_ROWS) - 1) * TILE_ROWS + _ROWS_TRI
+    # defensive clamp: a malformed descriptor must not RMW outside the VMEM
+    # grid (our packers always satisfy this)
+    tile_r0 = jnp.clip(tile_r0, 0, h_pad - _ROWS_TRI)
     arrays = _prep(xq, yq, pq, t_rel, counts, t_range, c)
     kernel = functools.partial(
         _tri_kernel, num_bins=c, nbc=nbc, chunk=e, width=w_pad,
@@ -402,6 +405,7 @@ def voxelize_chunked_bilinear_t(
     cout = 2 * c if separate_pol else c
     w_pad = -(-width // 128) * 128
     h_pad = -(-height // TILE_ROWS) * TILE_ROWS
+    tile_r0 = jnp.clip(tile_r0, 0, h_pad - TILE_ROWS)  # defensive clamp
     arrays = _prep(xq, yq, pq, t_rel, counts, t_range, c)
     kernel = functools.partial(
         _bil_kernel, num_bins=c, nbc=nbc, chunk=e, width=w_pad,

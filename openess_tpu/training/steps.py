@@ -7,7 +7,10 @@ sup_only_trainer.py:334-393, linear_probe_trainer.py, openess_trainer.py:
 is resolved at trace time from (task, config_option).
 
 Batch dict convention (device arrays, NHWC except events):
-  event       [B, T, bins, H, W]   voxelized windows (T = nr_events_data),
+  ev_*        raw-event sorted-chunk wire (data/device_voxelize.py) —
+              the production default; the step voxelizes on-device
+              (before augmentation, so paired flips hit the grid)
+  event       [B, T, bins, H, W]   pre-voxelized windows (grid wire),
                                    planar TPU wire format: the tiled minor
                                    dims of the entry buffer are (H, W), so
                                    XLA pads nothing (a bins-minor layout
