@@ -303,3 +303,59 @@ def test_openess_checkpoint_conversion(ref_style, ref_unet, ref_deeplab):
     assert text is not None and text.shape == (6, 512)
     assert "ds1_res0" in params["back_end"]
     assert params["back_end"]["decoder_ch512"]["kernel"].shape == (1, 1, 256, 512)
+
+
+def test_convert_tool_cli(ref_style, ref_unet, tmp_path):
+    """tools/convert_torch_checkpoints.py end to end: a saver.py-format
+    Epoch_N.pt plus a text-embedding .pth on disk -> orbax pretrained_file
+    tree + .npy, via the actual CLI (the conversion step every
+    docs/REPRODUCE.md row relies on)."""
+    import subprocess
+
+    head = ref_style.SemSegE2VID(
+        input_c=256, output_c=6, skip_connect=True, skip_type="concat",
+        text_embeddings_path=None,
+    )
+    unet = ref_unet.UNetRecurrent(
+        num_input_channels=5, num_output_channels=1, skip_type="sum",
+        recurrent_block_type="convlstm", activation="sigmoid",
+        num_encoders=3, base_num_channels=32, num_residual_blocks=2,
+        norm=None, use_upsample_conv=False,
+    )
+    unet_sd = {"unetrecurrent." + k: v for k, v in unet.state_dict().items()}
+    ckpt_path = tmp_path / "Epoch_1.pt"
+    torch.save({"front_sensor_b": unet_sd, "back_end": head.state_dict()},
+               ckpt_path)
+    text_path = tmp_path / "text.pth"
+    torch.save(torch.randn(11, 512), text_path)
+    out_dir = tmp_path / "converted"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/convert_torch_checkpoints.py"),
+         "--openess_ckpt", str(ckpt_path),
+         "--text_pth", str(text_path),
+         "--text_out", str(tmp_path / "text.npy"),
+         "--out", str(out_dir)],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    emb = np.load(tmp_path / "text.npy")
+    assert emb.shape == (11, 512) and emb.dtype == np.float32
+
+    import orbax.checkpoint as ocp
+
+    tree = ocp.StandardCheckpointer().restore(str(out_dir))
+    assert set(tree["params"]) == {"front_sensor_b", "back_end"}
+    # converted trees restore to the exact values the in-process converter
+    # produces — the CLI adds no re-serialization drift
+    from openess_tpu.models.torch_convert import convert_openess_checkpoint
+
+    params, _, _ = convert_openess_checkpoint(
+        {"front_sensor_b": unet_sd, "back_end": head.state_dict()}
+    )
+    got = tree["params"]["back_end"]["decoder_ch512"]["kernel"]
+    want = params["back_end"]["decoder_ch512"]["kernel"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=0)
