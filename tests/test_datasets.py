@@ -389,3 +389,47 @@ def test_event_file_readers(tmp_path):
     wins_zip = list(fixed_duration_event_windows(str(zp), duration_ms=25.0))
     assert len(wins_zip) == 3
     np.testing.assert_allclose(wins_zip[0], wins[0])
+
+
+def test_dsec_fixed_duration_windows(dsec_root):
+    """fixed_duration mode (sequence_ov.py duration branch): T windows of
+    delta_t_per_data ms each, ending at the label timestamp; each window
+    holds exactly the slicer's events for its time span (tail-truncated to
+    the window capacity K)."""
+    from openess_tpu.data.dsec import DSECDataset
+
+    T, delta_ms, K = 2, 50, 500
+    s = make_settings(
+        dataset_name_b="DSEC_events",
+        dataset_path_b=str(dsec_root),
+        config_option="recon2voxel",
+        nr_events_data_b=T,
+        nr_events_window_b=K,
+        fixed_duration_b=True,
+        delta_t_per_data_b=delta_ms,
+        pl_sources="pl_fcclip_rgb",
+        superpixel_sources="sp_sam_rgb",
+        wire_format="grid",
+    )
+    ds = DSECDataset(s, split="train")
+    seq = ds.sequences[0]
+    delta_us = delta_ms * 1000
+    for index in (0, len(seq) - 1):
+        ts_end = int(seq.timestamps[index])
+        ts_start = ts_end - T * delta_us
+        x, y, p, t, valid = seq.load_events(index)
+        assert x.shape == (T, K)
+        for i in range(T):
+            lo, hi = ts_start + i * delta_us, ts_start + (i + 1) * delta_us
+            tv = t[i][valid[i]]
+            assert tv.size > 0
+            assert tv.min() >= lo and tv.max() < hi, (tv.min(), tv.max(), lo, hi)
+            ev = seq.slicer.get_events(lo, hi)
+            n_ref = ev["t"].size
+            assert valid[i].sum() == min(n_ref, K)
+            # tail-take: the window keeps the LAST K events of its span
+            np.testing.assert_array_equal(tv, ev["t"][-min(n_ref, K):])
+    # batches voxelize finitely through the standard path
+    batch = ds.get_batch([0])
+    assert np.isfinite(batch["event"]).all()
+    assert np.abs(batch["event"]).sum() > 0
