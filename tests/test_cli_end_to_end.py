@@ -23,9 +23,8 @@ def dsec_tree(tmp_path_factory):
     return root
 
 
-@pytest.mark.slow
-def test_train_cli_recon2voxel_pretrain(dsec_tree, tmp_path):
-    cfg = {
+def _pretrain_cfg(dsec_tree, tmp_path):
+    return {
         "dataset": {
             "name_b": "DSEC_events",
             "DSEC_events": {
@@ -87,6 +86,11 @@ def test_train_cli_recon2voxel_pretrain(dsec_tree, tmp_path):
         },
         "tpu": {"compute_dtype": "float32", "mesh_data": 1, "mesh_model": 1},
     }
+
+
+@pytest.mark.slow
+def test_train_cli_recon2voxel_pretrain(dsec_tree, tmp_path):
+    cfg = _pretrain_cfg(dsec_tree, tmp_path)
     cfg_path = tmp_path / "cfg.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg))
 
@@ -105,6 +109,50 @@ def test_train_cli_recon2voxel_pretrain(dsec_tree, tmp_path):
 
     cks = glob.glob(str(tmp_path / "log" / "*" / "checkpoints" / "*"))
     assert cks, proc.stdout[-1000:]
+
+
+@pytest.mark.slow
+def test_train_cli_resume(dsec_tree, tmp_path):
+    """CLI resume contract (base_trainer_ov.py:34-44): a second train.py run
+    with resume_training + resume_file picks up the saved epoch and re-runs
+    from it (the reference stores the last COMPLETED epoch and restarts
+    there), then continues to num_epochs."""
+    import glob
+    import os
+
+    cfg = _pretrain_cfg(dsec_tree, tmp_path)
+    cfg["optim"]["num_epochs"] = 1
+    cfg_path = tmp_path / "cfg_first.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--settings_file", str(cfg_path)],
+        capture_output=True, text=True, timeout=3300, cwd="/root/repo", env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    ckpt_dirs = glob.glob(str(tmp_path / "log" / "*" / "checkpoints"))
+    assert ckpt_dirs and glob.glob(ckpt_dirs[0] + "/*")
+
+    cfg["optim"]["num_epochs"] = 2
+    cfg["checkpoint"]["resume_training"] = True
+    cfg["checkpoint"]["resume_file"] = ckpt_dirs[0]
+    cfg_path2 = tmp_path / "cfg_resume.yaml"
+    cfg_path2.write_text(yaml.safe_dump(cfg))
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--settings_file", str(cfg_path2)],
+        capture_output=True, text=True, timeout=3300, cwd="/root/repo", env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+
+    logs = sorted(glob.glob(str(tmp_path / "log" / "*" / "running.log")))
+    assert len(logs) == 2
+    text = open(logs[-1]).read()
+    assert "resumed from" in text and "at epoch 0" in text, text[-2000:]
+    # reference semantics: epoch 0 re-runs, then epoch 1 — both complete
+    assert "epoch 0 done" in text and "epoch 1 done" in text, text[-2000:]
 
 
 @pytest.mark.slow
