@@ -22,6 +22,11 @@ def main():
     parser = argparse.ArgumentParser(description="Train openess-tpu.")
     parser.add_argument("--settings_file", required=True, help="Path to settings yaml")
     parser.add_argument("--no_log_dir", action="store_true")
+    parser.add_argument(
+        "--profile", metavar="DIR", default="",
+        help="capture a jax.profiler device trace of the run into DIR "
+             "(TensorBoard-loadable; see docs/ROOFLINE.md for reading it)",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -31,13 +36,19 @@ def main():
     train_ds, val_ds = build_datasets(settings)
     trainer = Trainer(settings, train_ds, val_ds)
 
+    import contextlib
+
+    from openess_tpu.utils.profiling import trace
+
+    ctx = trace(args.profile) if args.profile else contextlib.nullcontext()
     task = task_from_settings(settings)
-    if task == "pretrain":
-        trainer.pretraining()
-    else:
-        best = trainer.training()
-        if best:
-            print({k: v for k, v in best.items() if k in ("miou", "acc")})
+    with ctx:
+        if task == "pretrain":
+            trainer.pretraining()
+        else:
+            best = trainer.training()
+            if best:
+                print({k: v for k, v in best.items() if k in ("miou", "acc")})
 
 
 if __name__ == "__main__":
