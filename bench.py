@@ -208,7 +208,7 @@ def build_flagship_step(teacher_os=None):
         batch_stats=mset.batch_stats,
         opt_state=tx.init(mset.params),
     )
-    return s, train_step, state
+    return s, train_step, state, sb
 
 
 def make_raw_events(rng, B, T, K=100_000, H=480, W=640):
@@ -259,7 +259,7 @@ def bench_train_step(rng):
     import jax
     import jax.numpy as jnp
 
-    s, train_step, state = build_flagship_step()
+    s, train_step, state, sb = build_flagship_step()
     B = s.batch_size_b  # 8
     host_batch = make_host_batch(rng, s, B)
 
@@ -285,8 +285,10 @@ def bench_train_step(rng):
         flops = float(ca.get("flops", 0.0)) or None
         if flops:
             h, w = s.img_size_b
+            # decode=False: the training build runs the latent-only scan
+            # (build.py sets E2VIDReconstructor(latent_only=True))
             flops += (s.nr_events_data_b - 1) * e2vid_window_flops(
-                B, int(h), int(w), num_bins=s.nr_temporal_bins_b
+                B, int(h), int(w), num_bins=s.nr_temporal_bins_b, decode=False
             )
     except Exception:
         pass
@@ -312,7 +314,7 @@ def bench_train_step(rng):
     # fast-teacher variant: os8 trunk (tpu: teacher_os), same batch
     os8_ms = None
     try:
-        _, step8, state8 = build_flagship_step(teacher_os=8)
+        _, step8, state8, _ = build_flagship_step(teacher_os=8)
         state8, losses8 = step8(state8, batch, rng_key, epoch)
         float(losses8["total_loss"])
         times = []
@@ -326,8 +328,25 @@ def bench_train_step(rng):
     except Exception:
         pass
 
+    # inference: the full-rate seg forward (north-star: voxelize + E2VID
+    # scan + head + argmax — the eval/serving path), same wire batch
+    eval_ms = None
+    try:
+        eval_step = sb.make_eval_step()
+        pred, _ = eval_step(state.params, state.batch_stats, batch)
+        float(jnp.sum(pred))
+        times = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            pred, _ = eval_step(state.params, state.batch_stats, batch)
+            float(jnp.sum(pred))
+            times.append(time.perf_counter() - t0)
+        eval_ms = min(times) * 1e3
+    except Exception:
+        pass
+
     return (s, train_step, state, host_batch, step_ms, put_ms, put_ms_cold,
-            flops, os8_ms)
+            flops, os8_ms, eval_ms)
 
 
 def bench_host_assembly(rng, s, B):
@@ -431,7 +450,7 @@ def main():
 
     try:
         (s, train_step, state, host_batch, step_ms, put_ms, put_cold,
-         flops, os8_ms) = bench_train_step(rng)
+         flops, os8_ms, eval_ms) = bench_train_step(rng)
         import jax
 
         kind = jax.devices()[0].device_kind
@@ -442,6 +461,9 @@ def main():
         extra["device_samples_per_s"] = round(B / (step_ms / 1e3), 2)
         if os8_ms:
             extra["pretrain_step_ms_b8_teacher_os8"] = round(os8_ms, 1)
+        if eval_ms:
+            extra["eval_fwd_ms_b8"] = round(eval_ms, 1)
+            extra["eval_samples_per_s"] = round(B / (eval_ms / 1e3), 2)
         if flops:
             extra["train_flops_per_step"] = flops
             extra["mfu_pct"] = round(

@@ -172,6 +172,12 @@ class UNetRecurrent(nn.Module):
     base_num_channels: int = 32
     num_residual_blocks: int = 2
     dtype: Any = jnp.float32
+    # decode=False skips resblocks/decoders/pred and returns img=None. The
+    # latent pyramid depends only on head+encoders, and the trainers consume
+    # only the latent (trainTaskStep feeds `latent` to SemSegE2VID and
+    # discards `img` — finetune_trainer.py:334-338,375-377), so the decode
+    # path is dead weight in every training step (~45 % of per-window FLOPs).
+    decode: bool = True
 
     @nn.compact
     def __call__(self, x, prev_states: Optional[Sequence] = None):
@@ -193,10 +199,12 @@ class UNetRecurrent(nn.Module):
             blocks.append(x)
             states.append(st)
 
+        latent = {"1": head, "2": blocks[0], "4": blocks[1], "8": blocks[2]}
+        if not self.decode:
+            return None, states, latent
+
         for i in range(self.num_residual_blocks):
             x = ResidualBlock(enc_out[-1], dtype=self.dtype, name=f"resblocks_{i}")(x)
-
-        latent = {"1": head, "2": blocks[0], "4": blocks[1], "8": blocks[2]}
 
         for i in range(self.num_encoders):
             skip = blocks[self.num_encoders - i - 1]
@@ -229,12 +237,20 @@ def normalize_event_window(events: Array) -> Array:
 
 
 class _RecurrentStep(nn.Module):
-    """(carry, window) -> (carry, (img, latent)) protocol for `nn.scan`."""
+    """((states, latent), window) -> ((states, latent), img) for `nn.scan`.
+
+    The latent pyramid rides the CARRY (only the final window's latent is
+    consumed downstream), so the scan never materializes a [T, ...] latent
+    stack — at production scale (B8, T20, 440x640) that stack is ~5 GB of
+    HBM written for nothing. ``img`` is the per-step output (or None when
+    ``decode=False``).
+    """
 
     num_bins: int
     normalize: bool
     dtype: Any
     planar: bool = False
+    decode: bool = True
 
     @nn.compact
     def __call__(self, carry, win):
@@ -251,10 +267,12 @@ class _RecurrentStep(nn.Module):
             win = jnp.moveaxis(win, 1, -1)
         if self.normalize:
             win = normalize_event_window(win)
+        states, _ = carry
         img, states, latent = UNetRecurrent(
-            num_input_channels=self.num_bins, dtype=self.dtype, name="unet"
-        )(win, carry)
-        return tuple(states), (img, latent)
+            num_input_channels=self.num_bins, dtype=self.dtype,
+            decode=self.decode, name="unet",
+        )(win, states)
+        return (tuple(states), latent), img
 
 
 class E2VIDReconstructor(nn.Module):
@@ -278,6 +296,14 @@ class E2VIDReconstructor(nn.Module):
     base_num_channels: int = 32
     dtype: Any = jnp.float32
     planar_input: bool = False
+    # latent_only=True (the training configuration) skips the UNet decode
+    # path (resblocks + transposed-conv decoders + pred) in every window:
+    # the trainers consume only the final latent pyramid, never the
+    # reconstructed image, and the decode path is ~45 % of per-window FLOPs.
+    # The returned imgs are then None. Checkpoints converted from the
+    # released E2VID weights still load — flax ignores the unused
+    # decoder/resblock param subtrees.
+    latent_only: bool = False
     # scan unroll factor: >1 lets XLA software-pipeline the small per-window
     # convs across recurrence steps
     unroll: int = 1
@@ -300,6 +326,9 @@ class E2VIDReconstructor(nn.Module):
             states0.append(
                 (jnp.zeros(sh, self.dtype), jnp.zeros(sh, self.dtype))
             )
+        latent0 = {"1": jnp.zeros((b, h, w, self.base_num_channels), self.dtype)}
+        for i in range(self.num_encoders):
+            latent0[str(2 ** (i + 1))] = jnp.zeros_like(states0[i][0])
 
         xs = jnp.moveaxis(windows, 1, 0)  # [T, B, ...] scan-major
         scanned = nn.scan(
@@ -311,8 +340,10 @@ class E2VIDReconstructor(nn.Module):
             unroll=self.unroll,
         )(
             self.num_bins, self.normalize, self.dtype,
-            planar=self.planar_input, name="step",
+            planar=self.planar_input, decode=not self.latent_only,
+            name="step",
         )
-        _, (imgs, latents) = scanned(tuple(states0), xs)
-        final_latent = jax.tree.map(lambda l: l[-1], latents)
+        (_, final_latent), imgs = scanned((tuple(states0), latent0), xs)
+        if imgs is None:
+            return None, final_latent
         return jnp.moveaxis(imgs, 0, 1), final_latent

@@ -118,6 +118,10 @@ def build_models(s: Settings, seed: int = 0) -> ModelSet:
         # histogram (2), ev_segnet (6) representations
         num_bins=s.input_channels_b, normalize=True, dtype=dt,
         planar_input=True,  # batches carry the [B, T, C, H, W] wire format
+        # training consumes only the final latent pyramid, never the
+        # reconstructed image (finetune_trainer.py:375-377), so skip the
+        # UNet decode path — ~45 % of per-window FLOPs — in all T windows
+        latent_only=True,
     )
     head = lambda lp=False: SemSegE2VID(
         input_c=256, num_classes=s.semseg_num_classes, linear_probe=lp, dtype=dt

@@ -51,6 +51,28 @@ def save_model_only(ckpt_dir: str, params, batch_stats, epoch: int):
     ckptr.wait_until_finished()
 
 
+def _merge_superset(target, loaded, prefix=""):
+    """Fill ``target``'s structure from ``loaded``, IGNORING extra on-disk
+    subtrees (e.g. the dead E2VID decoder params of a checkpoint saved
+    before ``latent_only`` training builds) but refusing to invent values:
+    a target leaf missing from the checkpoint raises."""
+    if isinstance(target, dict):
+        if not isinstance(loaded, dict):
+            raise ValueError(f"checkpoint missing subtree at '{prefix}'")
+        return {
+            k: _merge_superset(v, loaded.get(k), prefix + "/" + k)
+            for k, v in target.items()
+        }
+    if loaded is None:
+        raise ValueError(f"checkpoint missing leaf at '{prefix}'")
+    if np.shape(loaded) != np.shape(target):
+        raise ValueError(
+            f"checkpoint shape mismatch at '{prefix}': "
+            f"{np.shape(loaded)} vs {np.shape(target)}"
+        )
+    return jax.numpy.asarray(loaded)
+
+
 def restore_checkpoint(
     ckpt_dir: str,
     state,
@@ -64,6 +86,11 @@ def restore_checkpoint(
     deliberately does NOT restore optimizers on resume (base_trainer_ov.py:36,
     load_optimizer=False) — the optimizer keeps its fresh init. Pass True for
     bit-exact training continuation.
+
+    Checkpoints whose param tree is a SUPERSET of the current build's (e.g.
+    saved before the latent-only E2VID scan dropped the frozen decoder
+    subtrees) restore fine: orbax's strict structure match is retried with a
+    tolerant merge that drops the extra subtrees.
     """
     mgr = _mgr(ckpt_dir)
     target = {
@@ -73,9 +100,30 @@ def restore_checkpoint(
         "opt_state": state.opt_state,
     }
     step = mgr.latest_step() if step is None else step
-    restored = mgr.restore(
-        step, args=ocp.args.Composite(state=ocp.args.StandardRestore(target))
-    )["state"]
+    try:
+        restored = mgr.restore(
+            step, args=ocp.args.Composite(state=ocp.args.StandardRestore(target))
+        )["state"]
+    except ValueError:
+        # structure mismatch — restore as-saved, then merge tolerantly
+        raw = mgr.restore(
+            step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
+        )["state"]
+        restored = {
+            "step": jax.numpy.asarray(raw["step"]),
+            "params": _merge_superset(state.params, raw["params"], "params"),
+            "batch_stats": _merge_superset(
+                state.batch_stats, raw["batch_stats"], "batch_stats"
+            ),
+            "opt_state": state.opt_state,
+        }
+        if restore_optimizer:
+            raise ValueError(
+                "restore_optimizer=True requires an exactly matching "
+                "checkpoint structure; this checkpoint's tree differs from "
+                "the current build (re-save with the current code, or resume "
+                "with restore_optimizer=False)"
+            )
     mgr.close()
     return state.replace(
         step=restored["step"],
@@ -89,10 +137,19 @@ def restore_checkpoint(
 
 def load_model_only(path: str, params_like, batch_stats_like):
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(
-        os.path.abspath(path),
-        {"params": params_like, "batch_stats": batch_stats_like},
-    )
+    try:
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            {"params": params_like, "batch_stats": batch_stats_like},
+        )
+    except ValueError:
+        raw = ckptr.restore(os.path.abspath(path))
+        restored = {
+            "params": _merge_superset(params_like, raw["params"], "params"),
+            "batch_stats": _merge_superset(
+                batch_stats_like, raw["batch_stats"], "batch_stats"
+            ),
+        }
     return restored["params"], restored["batch_stats"]
 
 

@@ -21,6 +21,7 @@ def conv_flops(px: int, k: int, cin: int, cout: int) -> int:
 def e2vid_window_flops(
     batch: int, height: int, width: int, *, num_bins: int = 5,
     base: int = 32, num_encoders: int = 3, num_residual_blocks: int = 2,
+    decode: bool = True,
 ) -> int:
     """Forward FLOPs of ONE UNetRecurrent window (models/e2vid.py).
 
@@ -28,6 +29,10 @@ def e2vid_window_flops(
     output channels from concat(input, hidden) with a 3x3 kernel — ~0.33 TF
     per level at B8 DSEC scale regardless of resolution (channel doubling
     cancels the 4x pixel reduction).
+
+    ``decode=False`` counts the latent-only training configuration
+    (E2VIDReconstructor(latent_only=True)): head + encoders only, no
+    resblocks/decoders/pred.
     """
     h, w = height, width
     px = batch * h * w
@@ -39,6 +44,8 @@ def e2vid_window_flops(
         total += conv_flops(px, 5, ch, out)                # strided encoder
         total += conv_flops(px, 3, 2 * out, 4 * out)       # ConvLSTM gates
         ch = out
+    if not decode:
+        return total
     px8 = batch * (h // 2 ** num_encoders) * (w // 2 ** num_encoders)
     for _ in range(num_residual_blocks):
         total += 2 * conv_flops(px8, 3, ch, ch)            # resblock convs

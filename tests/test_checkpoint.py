@@ -90,3 +90,50 @@ def test_partial_transfer_exclusions(tmp_path, rng):
         np.asarray(loaded["model_recon"]["classifier"]["bias"]),
         np.full((8,), 77.0, np.float32),
     )
+
+
+def test_restore_tolerates_superset_checkpoint(tmp_path, rng):
+    """A checkpoint saved with a SUPERSET param tree (e.g. the pre-latent_only
+    E2VID build that still carried the frozen decoder subtrees) must restore
+    into the smaller current target: extra on-disk subtrees are dropped,
+    matching leaves load exactly, missing target leaves raise."""
+    full = make_state(rng, opt_count=7)
+    full.params["model_recon"]["decoders_0"] = {
+        "kernel": jnp.asarray(rng.normal(size=(5, 5, 2, 4)), jnp.float32)
+    }
+    ckpt.save_checkpoint(str(tmp_path / "ck"), full, epoch=2)
+
+    slim = make_state(np.random.default_rng(9), seed_val=99.0, opt_count=0)
+    restored, step = ckpt.restore_checkpoint(str(tmp_path / "ck"), slim)
+    assert step == 2 and int(restored.step) == 42
+    assert "decoders_0" not in restored.params["model_recon"]
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["model_recon"]["backbone"]["kernel"]),
+        np.asarray(full.params["model_recon"]["backbone"]["kernel"]),
+    )
+    # restore_optimizer needs the exact structure -> clear error, not garbage
+    import pytest
+
+    with pytest.raises(ValueError, match="restore_optimizer"):
+        ckpt.restore_checkpoint(
+            str(tmp_path / "ck"), slim, restore_optimizer=True
+        )
+
+    # model-only flavor: same tolerance
+    ckpt.save_model_only(str(tmp_path), full.params, full.batch_stats, epoch=1)
+    p, bs = ckpt.load_model_only(
+        str(tmp_path / "epoch_1"), slim.params, slim.batch_stats
+    )
+    assert "decoders_0" not in p["model_recon"]
+    np.testing.assert_array_equal(
+        np.asarray(p["model_recon"]["classifier"]["bias"]),
+        np.asarray(full.params["model_recon"]["classifier"]["bias"]),
+    )
+
+    # the reverse (checkpoint MISSING a target leaf) must fail loudly
+    slim2 = make_state(np.random.default_rng(3))
+    slim2.params["model_recon"]["extra_head"] = {
+        "kernel": jnp.zeros((1, 1, 2, 2), jnp.float32)
+    }
+    with pytest.raises(Exception):
+        ckpt.restore_checkpoint(str(tmp_path / "ck"), slim2)

@@ -115,6 +115,32 @@ def test_reconstructor_scan_equals_python_loop(rng):
             np.asarray(final_latent[k]), np.asarray(latent[k]), atol=1e-5)
 
 
+def test_reconstructor_latent_only_matches_full(rng):
+    """latent_only (the training configuration) must produce the exact same
+    final latent pyramid as the full decode run — the decode path (resblocks,
+    decoders, pred) is strictly downstream of the latent — and must accept a
+    FULL param tree (e.g. converted released E2VID weights) with the unused
+    decoder subtrees simply ignored."""
+    B, T, H, W = 1, 3, 32, 40
+    windows = rng.normal(size=(B, T, H, W, 5)).astype(np.float32)
+    windows[windows < 0.3] = 0.0
+
+    full = E2VIDReconstructor()
+    params = full.init(jax.random.key(0), windows)  # full tree incl. decoders
+    imgs, lat_full = full.apply(params, windows)
+    assert imgs is not None
+
+    lat_model = E2VIDReconstructor(latent_only=True)
+    imgs2, lat = lat_model.apply(params, windows)
+    assert imgs2 is None
+    for k in ("1", "2", "4", "8"):
+        np.testing.assert_array_equal(np.asarray(lat[k]), np.asarray(lat_full[k]))
+
+    # latent_only init must not create the decode-path params
+    p2 = lat_model.init(jax.random.key(0), windows)["params"]["step"]["unet"]
+    assert not any(k.startswith(("resblocks", "decoders", "pred")) for k in p2)
+
+
 def test_semseg_e2vid_shapes(rng):
     B, H, W, C = 2, 64, 80, 11
     latent = {
