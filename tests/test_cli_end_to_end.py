@@ -243,3 +243,32 @@ def test_train_cli_finetune_writes_visuals(dsec_tree, tmp_path):
         "pca_latent_e000.png",
     ):
         assert expect in names, names
+
+
+def test_export_model_cli(dsec_tree, tmp_path):
+    """tools/export_model.py: AOT-export the inference step, selfcheck the
+    deserialized artifact against the live jit, write the blob."""
+    cfg = _pretrain_cfg(dsec_tree, tmp_path)
+    cfg["dataset"]["DSEC_events"]["shape"] = [64, 96]
+    cfg["optim"]["batch_size_b"] = 1
+    cfg_path = tmp_path / "cfg_export.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "model.jexp"
+    proc = subprocess.run(
+        [sys.executable, "tools/export_model.py", "--settings_file",
+         str(cfg_path), "--output", str(out), "--selfcheck"],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "selfcheck OK" in proc.stdout
+    assert out.stat().st_size > 1_000_000  # weights embedded
+
+    # the artifact round-trips standalone (no flax/model code needed)
+    from jax import export as jexport
+
+    restored = jexport.deserialize(bytearray(out.read_bytes()))
+    x = np.random.default_rng(0).normal(0, 0.5, (1, 2, 5, 64, 96)).astype(
+        np.float32
+    )
+    pred, logits = restored.call(x)
+    assert pred.shape == (1, 64, 96) and logits.shape[-1] == 11
