@@ -256,19 +256,21 @@ def test_export_model_cli(dsec_tree, tmp_path):
     out = tmp_path / "model.jexp"
     proc = subprocess.run(
         [sys.executable, "tools/export_model.py", "--settings_file",
-         str(cfg_path), "--output", str(out), "--selfcheck"],
+         str(cfg_path), "--output", str(out), "--selfcheck", "--poly_batch"],
         capture_output=True, text=True, timeout=900,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "selfcheck OK" in proc.stdout
     assert out.stat().st_size > 1_000_000  # weights embedded
 
-    # the artifact round-trips standalone (no flax/model code needed)
+    # the artifact round-trips standalone (no flax/model code needed) and
+    # the symbolic batch dim serves any batch size
     from jax import export as jexport
 
     restored = jexport.deserialize(bytearray(out.read_bytes()))
-    x = np.random.default_rng(0).normal(0, 0.5, (1, 2, 5, 64, 96)).astype(
-        np.float32
-    )
-    pred, logits = restored.call(x)
-    assert pred.shape == (1, 64, 96) and logits.shape[-1] == 11
+    for b in (1, 3):
+        x = np.random.default_rng(0).normal(0, 0.5, (b, 2, 5, 64, 96)).astype(
+            np.float32
+        )
+        pred, logits = restored.call(x)
+        assert pred.shape == (b, 64, 96) and logits.shape[-1] == 11

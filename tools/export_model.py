@@ -76,6 +76,10 @@ def main():
                     help="orbax model-only checkpoint dir (epoch_N) to embed")
     ap.add_argument("--batch_size", type=int, default=0,
                     help="override the config batch size for the artifact")
+    ap.add_argument("--poly_batch", action="store_true",
+                    help="export with a SYMBOLIC batch dimension (jax.export "
+                         "shape polymorphism): one artifact serves any batch "
+                         "size")
     ap.add_argument("--selfcheck", action="store_true",
                     help="deserialize and diff vs the live jit on random "
                          "inputs before writing")
@@ -99,12 +103,17 @@ def main():
         mset = dataclasses.replace(mset, params=p, batch_stats=bs)
 
     infer, spec = build_infer_fn(s, mset)
+    if args.poly_batch:
+        b = jexport.symbolic_shape("b")[0]
+        spec = jax.ShapeDtypeStruct((b,) + tuple(spec.shape[1:]), spec.dtype)
     exported = jexport.export(jax.jit(infer))(spec)
     blob = exported.serialize()
 
     if args.selfcheck:
-        x = np.random.default_rng(0).normal(
-            0, 0.5, spec.shape).astype(np.float32)
+        shape = tuple(
+            2 if jexport.is_symbolic_dim(d) else d for d in spec.shape
+        )
+        x = np.random.default_rng(0).normal(0, 0.5, shape).astype(np.float32)
         pred_live, logits_live = jax.jit(infer)(x)
         restored = jexport.deserialize(blob)
         pred_art, logits_art = restored.call(x)
