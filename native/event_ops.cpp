@@ -378,32 +378,34 @@ void time_indices_offsets(
 // Sorted-chunk wire packer for the Pallas sorted-chunk voxelizer
 // (openess_tpu/ops/voxelize_chunked.py — see its module docstring for the
 // format). Per window: quantize coords to 1/32-px int16 fixed point,
-// counting-sort kept events by 16-row image tile, and cut the sorted stream
-// into chunks of <= `chunk` events that each touch exactly one tile.
-// Bit-identical twin of the numpy reference `chunk_events_window`
-// (round-half-even quantization via nearbyint; trunc-toward-zero row from
-// integer division). Windows are distributed dynamically across threads.
+// counting-sort kept events by (16-row tile, x corner), and greedily cut
+// the sorted stream into chunks of <= `chunk` events whose x corners fit
+// one 128-aligned kernel lane block (2 tiles + spill for trilinear, 1 for
+// integer coords). Bit-identical twin of `chunk_events_window`
+// (round-half-even quantization via nearbyint; trunc-toward-zero corner
+// from integer division). Windows are distributed dynamically across
+// threads.
 //
 // In/out layout: x/y/p as float, t as double [n_win, K] with `valid` uint8;
 // outputs xq/yq int16, pq uint8, t_rel float [n_win, nbc, chunk] (caller
-// pre-zeroed), counts/tile_r0 int32 [n_win, nbc], t_range float [n_win].
+// pre-zeroed), counts int32 [n_win, nbc], packed tile descriptors
+// (row offset | col offset << 16) int32 [n_win, nbc], t_range [n_win].
 void chunk_events_windows(
     const float* x, const float* y, const float* p, const double* t,
     const uint8_t* valid, int64_t n_win, int64_t K,
     int H, int W, int chunk, int nbc, int integer_coords,
     int16_t* xq_o, int16_t* yq_o, uint8_t* pq_o, float* tr_o,
     int32_t* counts_o, int32_t* r0_o, float* trange_o, int n_threads) {
-  const int kTile = 16, kFp = 32;
+  const int kTile = 16, kFp = 32, kTileC = 128;
   const int n_tiles = (H + kTile - 1) / kTile;
   if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
   n_threads = (int)std::min<int64_t>(std::max(n_threads, 1), n_win);
 
+  const int64_t n_key = (int64_t)n_tiles * W;  // (row tile, x corner) buckets
   std::atomic<int64_t> next(0);
   auto work = [&]() {
-    std::vector<int32_t> xq(K), yq(K), tile(K);
-    std::vector<int64_t> kept(K);
-    std::vector<int64_t> tile_cnt(n_tiles), tile_pos(n_tiles);
-    std::vector<int32_t> tile_first_chunk(n_tiles + 1);
+    std::vector<int32_t> xq(K), yq(K), key(K), kept(K);
+    std::vector<int32_t> key_pos(n_key + 1);  // counts, then slot cursors
     for (;;) {
       const int64_t w = next.fetch_add(1);
       if (w >= n_win) return;
@@ -419,10 +421,10 @@ void chunk_events_windows(
       int32_t* cntw = counts_o + w * nbc;
       int32_t* r0w = r0_o + w * nbc;
 
-      // pass 1: t range over valid, quantize, keep-mask, tile counts
+      // pass 1: t range over valid, quantize, keep-mask, sort-key counts
       double t_first = 0, t_last = 0;
       bool any_valid = false;
-      std::fill(tile_cnt.begin(), tile_cnt.end(), 0);
+      std::fill(key_pos.begin(), key_pos.end(), 0);
       int64_t n_kept = 0;
       for (int64_t i = 0; i < K; ++i) {
         if (!vw[i]) continue;
@@ -445,12 +447,14 @@ void chunk_events_windows(
         }
         if (!keep) continue;
         const int32_t y0 = yi / kFp;  // trunc toward zero (torch .int())
-        const int32_t ti_le = std::min(std::max(y0, 0), H - 1) / kTile;
+        const int32_t x0 = xi / kFp;
+        const int32_t yt = std::min(std::max(y0, 0), H - 1) / kTile;
+        const int32_t xc = std::min(std::max(x0, 0), W - 1);
         xq[n_kept] = xi;
         yq[n_kept] = yi;
-        tile[n_kept] = ti_le;
-        kept[n_kept] = i;
-        ++tile_cnt[ti_le];
+        key[n_kept] = yt * W + xc;  // (row tile, x corner)
+        kept[n_kept] = (int32_t)i;
+        ++key_pos[key[n_kept] + 1];
         ++n_kept;
       }
       trange_o[w] = any_valid
@@ -460,40 +464,64 @@ void chunk_events_windows(
       for (int c = 0; c < nbc; ++c) { cntw[c] = 0; r0w[c] = 0; }
       if (n_kept == 0) continue;
 
-      // chunk layout: tile ti occupies ceil(cnt/chunk) consecutive chunks.
-      // nbc from num_chunks() provably suffices; the guard below protects
-      // against a caller passing a too-small nbc (drop instead of writing
-      // out of bounds).
-      int32_t cchunk = 0;
-      for (int ti_le = 0; ti_le < n_tiles; ++ti_le) {
-        tile_first_chunk[ti_le] = cchunk;
-        tile_pos[ti_le] = 0;
-        const int64_t cnt = tile_cnt[ti_le];
+      // pass 2: greedy chunk layout straight from the (row tile, x corner)
+      // histogram. Within a row tile the sorted run's x corner is monotone,
+      // so a chunk is cut when its events would overflow the kernel's lane
+      // block ([c0, c0+2*128) incl. the +1 x-corner spill for trilinear;
+      // [c0, c0+128) exact for integer coords), the row tile changes, or
+      // the chunk fills (capacity cuts re-anchor c0, matching the numpy
+      // reference). A bucket's events land in globally CONSECUTIVE wire
+      // slots (capacity continuations are adjacent chunks packed from 0),
+      // so key_pos[k] becomes the bucket's running slot cursor and the
+      // placement pass below is one stable counting-sort write — no
+      // cache-hostile rank indirection. nbc from num_chunks() provably
+      // suffices; the guards drop (never write OOB) on a too-small nbc.
+      const int32_t span = integer_coords ? kTileC : 2 * kTileC - 1;
+      const int64_t wire_end = (int64_t)nbc * chunk;
+      int32_t cchunk = -1, in_chunk = 0, c0 = 0, prev_yt = -1;
+      bool exhausted = false;
+      for (int64_t k = 0; k < n_key; ++k) {
+        const int32_t cnt = key_pos[k + 1];  // bucket count (pre-prefix)
         if (cnt == 0) continue;
-        int32_t nc = (int32_t)((cnt + chunk - 1) / chunk);
-        if (cchunk + nc > nbc) nc = std::max(nbc - cchunk, 0);
-        // tile_cnt becomes the tile's placement CAPACITY for pass 2 (equals
-        // or exceeds cnt except when capped)
-        tile_cnt[ti_le] = std::min<int64_t>(cnt, (int64_t)nc * chunk);
-        for (int32_t c = 0; c < nc; ++c) {
-          const int64_t in_chunk =
-              std::min<int64_t>(chunk, tile_cnt[ti_le] - (int64_t)c * chunk);
-          cntw[cchunk + c] = (int32_t)std::max<int64_t>(in_chunk, 0);
-          r0w[cchunk + c] = ti_le * kTile;
+        if (exhausted) { key_pos[k] = -1; continue; }
+        const int32_t yt = (int32_t)(k / W);
+        const int32_t x0b = (int32_t)(k % W);  // clipped x corner
+        if (cchunk < 0 || yt != prev_yt || x0b - c0 >= span ||
+            in_chunk >= chunk) {
+          if (cchunk + 1 >= nbc) { exhausted = true; key_pos[k] = -1; continue; }
+          ++cchunk;
+          in_chunk = 0;
+          prev_yt = yt;
+          c0 = (x0b / kTileC) * kTileC;
+          // packed descriptor: row offset | (col offset << 16)
+          r0w[cchunk] = yt * kTile | (c0 << 16);
         }
-        cchunk += nc;
+        key_pos[k] = cchunk * chunk + in_chunk;  // bucket cursor
+        int64_t rem = std::min<int64_t>(cnt, wire_end - key_pos[k]);
+        if (rem < cnt) exhausted = true;
+        while (rem > 0) {
+          const int64_t put = std::min<int64_t>(rem, chunk - in_chunk);
+          in_chunk += (int32_t)put;
+          rem -= put;
+          cntw[cchunk] = in_chunk;
+          if (in_chunk >= chunk && rem > 0) {
+            ++cchunk;  // capacity continuation (< nbc by the rem cap)
+            in_chunk = 0;
+            c0 = (x0b / kTileC) * kTileC;  // re-anchor, as numpy does
+            r0w[cchunk] = prev_yt * kTile | (c0 << 16);
+          }
+        }
       }
-      // padding chunks repeat the last tile's row offset
-      for (int32_t c = cchunk; c < nbc; ++c) r0w[c] = r0w[cchunk - 1];
+      // padding chunks repeat the last chunk's descriptor
+      for (int32_t c = std::max(cchunk, 0) + 1; c < nbc; ++c)
+        r0w[c] = r0w[std::max(cchunk, 0)];
 
-      // pass 2: place (stable within tile — input is time-sorted)
+      // pass 3: stable counting-sort placement in time order
       for (int64_t e = 0; e < n_kept; ++e) {
-        const int32_t ti_le = tile[e];
-        const int64_t pos = tile_pos[ti_le]++;
-        if (pos >= tile_cnt[ti_le]) continue;  // capacity guard (capped nbc)
-        const int64_t slot =
-            ((int64_t)tile_first_chunk[ti_le] + pos / chunk) * chunk +
-            pos % chunk;
+        int32_t& cur = key_pos[key[e]];
+        if (cur < 0) continue;  // dropped bucket (too-small nbc)
+        const int64_t slot = cur++;
+        if (slot >= wire_end) continue;  // truncated bucket tail
         xqw[slot] = (int16_t)xq[e];
         yqw[slot] = (int16_t)yq[e];
         const int64_t i = kept[e];

@@ -6,7 +6,7 @@ train/eval steps call :func:`voxelize_wire` to build the planar
 ``[B, T, C, H', W']`` window tensor on-device — the reference's DataLoader
 voxelization (``DSEC/dataset/sequence_ov.py:304-305``, ``datasets/
 ddd17_events_loader.py:183-196``) moved onto the TPU, where it runs at
-~280 Mev/s instead of occupying host cores.
+~1.2 Gev/s instead of occupying host cores.
 
 Wire batch keys (all batch-sharded on the data mesh axis):
   ev_x, ev_y   int16 [B, T, NBC, E]   fixed-point coords (x32)

@@ -8,11 +8,16 @@ because every event chunk matmuls against the FULL ``[C*H, W]`` grid.
 Design (TPU-first, no scatter, no device sort):
 
 1. **Host pre-pass** (C++ ``openess_tpu.native.chunk_events_*`` or the numpy
-   reference here): per window, counting-sort events by 16-row image tile
-   (key = ``clip(trunc(y), 0, H-1) // 16``) and cut the sorted stream into
-   chunks of ≤ ``chunk`` events that each touch exactly ONE tile. An O(N)
-   single pass — the reference does strictly more host work per event in its
-   DataLoader voxelization (``DSEC/dataset/sequence_ov.py:304-305``).
+   reference here): per window, counting-sort events by (16-row image tile,
+   x corner) and GREEDILY cut the sorted stream into chunks of ≤ ``chunk``
+   events whose x corners fit one 128-aligned kernel lane block (2 lane
+   tiles + the +1-corner spill for trilinear; 1 exact tile for DDD17
+   integer coords). Greedy cuts keep chunks ~full (80-95 % occupancy on
+   uniform events; capacity-cut on real clustered streams) while the
+   kernel's one-hot width shrinks from the padded image width to the 256-
+   wide block. O(N) counting-sort passes — the reference does strictly more
+   host work per event in its DataLoader voxelization
+   (``DSEC/dataset/sequence_ov.py:304-305``).
 
 2. **Compact wire format** (9 B/event vs 20 B raw f32 SoA, vs ~56 B/event of
    grid): ``x, y`` int16 fixed-point (coord × 32, 1/32-px resolution —
@@ -26,12 +31,15 @@ Design (TPU-first, no scatter, no device sort):
    (``DSEC/dataset/representations.py:24-43``) factorizes as ONE outer
    product: ``G[(c,y_rel), x] += Σ_e B[e,(c,y_rel)] · A[e,x]`` with
    ``B[e,m] = v·wt·wy`` (4 nonzeros) and ``A[e,x] = wx`` (2 nonzeros), both
-   built by iota-compares on the VPU. Because a chunk spans one 16-row tile,
-   ``B`` has only ``C*24`` rows (vs ``C*H`` = 2400 in the round-2 kernel) —
-   ~19× fewer MACs — and the ``[M, W]`` product accumulates into the VMEM
-   grid at the tile's row offset (read-modify-write; the +1 y-corner spill
-   row lands in the next tile, which is fine because the whole window grid
-   is resident).
+   built by iota-compares on the VPU. Because a chunk spans one 16-row tile
+   and a 256-col lane block, ``B`` has only ``C*24`` rows (vs ``C*H`` =
+   2400 in the round-2 kernel) and ``A`` only 256 columns (vs the padded
+   image width), and ``B`` itself is built as the broadcast product of a
+   ``[bins, E]`` time row and a ``[24, E]`` y row — the VPU one-hot build,
+   not the MXU matmul, is this kernel's roofline. The ``[M, 256]`` product
+   accumulates into the VMEM grid at the chunk's (row, col) offset
+   (read-modify-write; the +1 y-corner spill row lands in the next tile,
+   which is fine because the whole window grid is resident).
 
 Corner semantics match the reference exactly on the dequantized coords
 (trunc-toward-zero corner pairs incl. the negative-weight quirk for
@@ -57,14 +65,21 @@ Array = jax.Array
 
 FIXED_POINT = 32          # coord fixed-point scale (1/32 px)
 TILE_ROWS = 16            # image rows per chunk tile
+TILE_COLS = 128           # image cols per chunk tile (one MXU lane tile)
 CHUNK = 1024              # max events per chunk
 _ROWS_TRI = TILE_ROWS + 8   # per-bin row block (16 rows + spill + align pad)
+# trilinear x-corner pair {x0, x0+1} can spill one column past the tile, so
+# its kernel block is 2 lane tiles wide; the DDD17 exact-x kernel needs 1
+_COLS_TRI = 2 * TILE_COLS
+_COLS_BIL = TILE_COLS
 
 
-def num_chunks(k: int, height: int, chunk: int = CHUNK) -> int:
+def num_chunks(k: int, height: int, width: int, chunk: int = CHUNK) -> int:
     """Worst-case chunk count for a window of ``k`` events: every chunk ends
-    either full (≤ ceil(k/chunk) such cuts) or at a tile change (≤ #tiles)."""
-    return -(-k // chunk) + -(-height // TILE_ROWS) + 1
+    either full (≤ ceil(k/chunk) such cuts) or at a (row-tile × col-tile)
+    segment change (≤ #segments)."""
+    n_seg = (-(-height // TILE_ROWS)) * (((width - 1) // TILE_COLS) + 1)
+    return -(-k // chunk) + n_seg + 1
 
 
 # ---------------------------------------------------------------------------
@@ -87,7 +102,7 @@ def chunk_events_window(
     ``integer_coords`` enables the DDD17 convention (drop events outside the
     frame; no corner spill).
     """
-    nbc = num_chunks(x.shape[0], height, chunk)
+    nbc = num_chunks(x.shape[0], height, width, chunk)
     xq_o = np.zeros((nbc, chunk), np.int16)
     yq_o = np.zeros((nbc, chunk), np.int16)
     pq_o = np.zeros((nbc, chunk), np.uint8)
@@ -130,20 +145,37 @@ def chunk_events_window(
     if not keep.any():
         return xq_o, yq_o, pq_o, tr_o, counts, tile_r0, t_range
 
-    xq, yq, y0 = xq[keep], yq[keep], y0[keep]
+    x0 = (np.abs(xq) // FIXED_POINT) * np.sign(xq)  # trunc toward zero
+    xq, yq, y0, x0 = xq[keep], yq[keep], y0[keep], x0[keep]
     pk = np.asarray(p)[keep]
     trel = (np.asarray(t, np.float64)[keep] - t_first).astype(np.float32)
 
-    tile = np.clip(y0, 0, height - 1) // TILE_ROWS
-    order = np.argsort(tile, kind="stable")
-    tile = tile[order]
+    # sort by (16-row tile, x corner): within a row tile the x-span of any
+    # contiguous run is monotone, so chunks are cut GREEDILY when the run
+    # would overflow the kernel's lane block ([c0, c0+256) for trilinear
+    # incl. the +1 corner spill; [c0, c0+128) exact for DDD17), with c0 the
+    # 128-aligned floor of the chunk's first x corner. Real event streams
+    # are capacity-cut, so chunks stay full while the one-hot matmul shrinks
+    # from the padded image width to the 1-or-2-lane-tile block.
+    xclip = np.clip(x0, 0, width - 1)
+    ytile = np.clip(y0, 0, height - 1) // TILE_ROWS
+    key = ytile.astype(np.int64) * width + xclip
+    order = np.argsort(key, kind="stable")
+    ytile, xclip = ytile[order], xclip[order]
+    x0s = x0[order]
+    span = TILE_COLS if integer_coords else 2 * TILE_COLS - 1
 
-    # cut the sorted stream at tile changes and at the chunk capacity
     boundaries = [0]
-    for i in range(1, tile.size):
-        if tile[i] != tile[i - 1] or (i - boundaries[-1]) >= chunk:
+    c0 = (xclip[0] // TILE_COLS) * TILE_COLS
+    for i in range(1, ytile.size):
+        if (
+            ytile[i] != ytile[i - 1]
+            or x0s[i] - c0 >= span
+            or (i - boundaries[-1]) >= chunk
+        ):
             boundaries.append(i)
-    boundaries.append(tile.size)
+            c0 = (xclip[i] // TILE_COLS) * TILE_COLS
+    boundaries.append(ytile.size)
 
     xq, yq, pk, trel = xq[order], yq[order], pk[order], trel[order]
     for ci in range(len(boundaries) - 1):
@@ -156,7 +188,10 @@ def chunk_events_window(
         # (handles ±1 polarity encodings; raw float-into-uint8 would wrap)
         tr_o[ci, :n] = trel[a:b]
         counts[ci] = n
-        tile_r0[ci] = tile[a] * TILE_ROWS
+        # packed descriptor: row offset | (col offset << 16)
+        tile_r0[ci] = ytile[a] * TILE_ROWS + (
+            (xclip[a] // TILE_COLS) * TILE_COLS << 16
+        )
     # padding chunks repeat the last tile (keeps the kernel's RMW offset valid)
     tile_r0[len(boundaries) - 1 :] = tile_r0[len(boundaries) - 2]
     return xq_o, yq_o, pq_o, tr_o, counts, tile_r0, t_range
@@ -181,23 +216,29 @@ def chunk_events_batch(x, y, p, t, valid, *, height, width, chunk=CHUNK,
 # ---------------------------------------------------------------------------
 
 
-def _tri_kernel(r0_ref, cnt_ref, x_ref, y_ref, tn_ref, v_ref, out_ref, *,
-                num_bins, nbc, chunk, width):
+def _tri_kernel(r0_ref, c0_ref, cnt_ref, x_ref, y_ref, tn_ref, v_ref,
+                out_ref, *, num_bins, nbc, chunk):
     """One window: VMEM-resident grid, per-chunk outer-product accumulate.
 
     Events ride the LANE axis ([1, E] rows) so the natural [NW, NBC, E] wire
     layout needs no relayout; the one-hots are built transposed (B'[M, E],
-    A'[W, E]) and contracted over lanes — the MXU-native NT matmul form.
+    A'[cols, E]) and contracted over lanes — the MXU-native NT matmul form.
+    Chunks are pure in a [16-row x 128-col] image tile (2-D host sort), so
+    A' spans only the 2-lane-tile block at the chunk's column offset instead
+    of the full image width.
     """
     w = pl.program_id(0)
     out_ref[:] = jnp.zeros_like(out_ref)
     rows = _ROWS_TRI
+    cols = _COLS_TRI
 
     def body(i, carry):
         @pl.when(cnt_ref[w, i] > 0)
         def _():
             r0v = r0_ref[w, i]
+            c0v = c0_ref[w, i]
             r0 = pl.multiple_of(r0v, TILE_ROWS)
+            c0 = pl.multiple_of(c0v, TILE_COLS)
             sl = pl.ds(i, 1)
             x = x_ref[0, sl, :]     # [1, E] f32 dequantized (padding -4)
             y = y_ref[0, sl, :]
@@ -209,30 +250,37 @@ def _tri_kernel(r0_ref, cnt_ref, x_ref, y_ref, tn_ref, v_ref, out_ref, *,
             t0 = tn.astype(jnp.int32)
             yr = y0 - r0v               # in [-1, 15] by the tile guarantee
 
-            # A'[col, e] = 1 - |col - x| on corner columns {x0, x0+1}
-            colx = jax.lax.broadcasted_iota(jnp.int32, (width, chunk), 0)
-            wx = 1.0 - jnp.abs(colx.astype(jnp.float32) - x)
-            a = jnp.where((colx == x0) | (colx == x0 + 1), wx, 0.0)
-
-            # B'[c*rows + ym, e] = v * wt(c) * wy(r0 + ym)
-            m = jax.lax.broadcasted_iota(
-                jnp.int32, (num_bins * rows, chunk), 0
+            # A'[col, e]: corner weights 1-|f| on x0 and f on x0+1, with
+            # f = x - x0 in (-1, 1) (for fractional negative x this keeps
+            # the reference's negative weight f on the x0+1 corner), cols
+            # global via the chunk's column offset
+            colx = c0v + jax.lax.broadcasted_iota(jnp.int32, (cols, chunk), 0)
+            f = x - x0.astype(jnp.float32)
+            a = jnp.where(
+                colx == x0, 1.0 - jnp.abs(f),
+                jnp.where(colx == x0 + 1, f, 0.0),
             )
-            cm = m // rows
-            ym = m - cm * rows
+
+            # B'[c*rows + ym, e] = v * wt(c) * wy(r0 + ym): factored as the
+            # broadcast product of a [bins, E] time row (with v folded in)
+            # and a [rows, E] y row — O((bins+rows)·E) transcendental work
+            # instead of O(bins·rows·E)
+            cm = jax.lax.broadcasted_iota(jnp.int32, (num_bins, 1, chunk), 0)
             wt = 1.0 - jnp.abs(cm.astype(jnp.float32) - tn)
+            btime = jnp.where((cm == t0) | (cm == t0 + 1), v * wt, 0.0)
+            ym = jax.lax.broadcasted_iota(jnp.int32, (1, rows, chunk), 1)
             wy = 1.0 - jnp.abs((ym + r0v).astype(jnp.float32) - y)
-            sel = ((cm == t0) | (cm == t0 + 1)) & ((ym == yr) | (ym == yr + 1))
-            b = jnp.where(sel, v * wt * wy, 0.0)
+            by = jnp.where((ym == yr) | (ym == yr + 1), wy, 0.0)
+            b = (btime * by).reshape(num_bins * rows, chunk)
 
             mm = jax.lax.dot_general(
                 b.astype(jnp.bfloat16), a.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [num_bins * rows, width]
+            )  # [num_bins * rows, cols]
             for c in range(num_bins):
-                cur = out_ref[0, c, pl.ds(r0, rows), :]
-                out_ref[0, c, pl.ds(r0, rows), :] = (
+                cur = out_ref[0, c, pl.ds(r0, rows), pl.ds(c0, cols)]
+                out_ref[0, c, pl.ds(r0, rows), pl.ds(c0, cols)] = (
                     cur + mm[c * rows : (c + 1) * rows, :]
                 )
         return carry
@@ -240,18 +288,22 @@ def _tri_kernel(r0_ref, cnt_ref, x_ref, y_ref, tn_ref, v_ref, out_ref, *,
     jax.lax.fori_loop(0, nbc, body, 0)
 
 
-def _bil_kernel(r0_ref, cnt_ref, x_ref, y_ref, tn_ref, v_ref, out_ref, *,
-                num_bins, nbc, chunk, width, separate_pol):
-    """DDD17 variant: exact one-hot (x, y), bilinear in t, polarity blocks."""
+def _bil_kernel(r0_ref, c0_ref, cnt_ref, x_ref, y_ref, tn_ref, v_ref,
+                out_ref, *, num_bins, nbc, chunk, separate_pol):
+    """DDD17 variant: exact one-hot (x, y), bilinear in t, polarity blocks.
+    Integer coords have no x spill, so the block is ONE lane tile wide."""
     w = pl.program_id(0)
     out_ref[:] = jnp.zeros_like(out_ref)
     cout = 2 * num_bins if separate_pol else num_bins
+    cols = _COLS_BIL
 
     def body(i, carry):
         @pl.when(cnt_ref[w, i] > 0)
         def _():
             r0v = r0_ref[w, i]
+            c0v = c0_ref[w, i]
             r0 = pl.multiple_of(r0v, TILE_ROWS)
+            c0 = pl.multiple_of(c0v, TILE_COLS)
             sl = pl.ds(i, 1)
             x = x_ref[0, sl, :]     # [1, E]
             y = y_ref[0, sl, :]
@@ -264,33 +316,36 @@ def _bil_kernel(r0_ref, cnt_ref, x_ref, y_ref, tn_ref, v_ref, out_ref, *,
             dts = tn - ti.astype(jnp.float32)
             ok = (tn >= 0.0) & (pol != 0.0)
 
-            colx = jax.lax.broadcasted_iota(jnp.int32, (width, chunk), 0)
+            colx = c0v + jax.lax.broadcasted_iota(jnp.int32, (cols, chunk), 0)
             a = jnp.where(colx == xi, 1.0, 0.0)
 
-            m = jax.lax.broadcasted_iota(
-                jnp.int32, (cout * TILE_ROWS, chunk), 0
-            )
-            cm = m // TILE_ROWS
-            ym = m - cm * TILE_ROWS
+            # factored B' build (see _tri_kernel): [cout, 1, E] time/pol row
+            # x [1, 16, E] exact-row one-hot
+            cm = jax.lax.broadcasted_iota(jnp.int32, (cout, 1, chunk), 0)
             tb = jnp.where(cm < num_bins, cm, cm - num_bins)
             wt = jnp.where(
                 tb == ti, 1.0 - dts, jnp.where(tb == ti + 1, dts, 0.0)
             )
-            sel = (ym == yr) & ok
             if separate_pol:
-                sel = sel & ((cm < num_bins) == (pol > 0.0))
-                b = jnp.where(sel, wt, 0.0)
+                btime = jnp.where(
+                    ok & ((cm < num_bins) == (pol > 0.0)), wt, 0.0
+                )
             else:
-                b = jnp.where(sel, pol * wt, 0.0)
+                btime = jnp.where(ok, pol * wt, 0.0)
+            ym = jax.lax.broadcasted_iota(
+                jnp.int32, (1, TILE_ROWS, chunk), 1
+            )
+            by = jnp.where(ym == yr, 1.0, 0.0)
+            b = (btime * by).reshape(cout * TILE_ROWS, chunk)
 
             mm = jax.lax.dot_general(
                 b.astype(jnp.bfloat16), a.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [cout * 16, width]
+            )  # [cout * 16, cols]
             for c in range(cout):
-                cur = out_ref[0, c, pl.ds(r0, TILE_ROWS), :]
-                out_ref[0, c, pl.ds(r0, TILE_ROWS), :] = (
+                cur = out_ref[0, c, pl.ds(r0, TILE_ROWS), pl.ds(c0, cols)]
+                out_ref[0, c, pl.ds(r0, TILE_ROWS), pl.ds(c0, cols)] = (
                     cur + mm[c * TILE_ROWS : (c + 1) * TILE_ROWS, :]
                 )
         return carry
@@ -318,15 +373,15 @@ def _prep(xq, yq, pq, t_rel, counts, t_range, num_bins):
 def _call(kernel, nw, nbc, chunk, cout, h_pad, w_pad, arrays, scalars,
           interpret):
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nw,),
         in_specs=[
-            pl.BlockSpec((1, nbc, chunk), lambda w, r0s, cnts: (w, 0, 0),
+            pl.BlockSpec((1, nbc, chunk), lambda w, r0s, c0s, cnts: (w, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(4)
         ],
         out_specs=pl.BlockSpec(
-            (1, cout, h_pad, w_pad), lambda w, r0s, cnts: (w, 0, 0, 0),
+            (1, cout, h_pad, w_pad), lambda w, r0s, c0s, cnts: (w, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -356,23 +411,23 @@ def voxelize_chunked_trilinear(
     """DSEC trilinear voxelization from the chunked wire format.
 
     Args: ``xq/yq`` int16 [NW, NBC, E] fixed-point, ``pq`` uint8,
-    ``t_rel`` f32, ``counts``/``tile_r0`` int32 [NW, NBC], ``t_range`` f32
+    ``t_rel`` f32, ``counts`` int32 [NW, NBC], ``tile_r0`` int32 [NW, NBC]
+    packed descriptors (row offset | col offset << 16), ``t_range`` f32
     [NW]. Returns ``[NW, num_bins, height, width]`` f32 (the layout of
     ``voxelize_windows_trilinear`` reshaped per window).
     """
     nw, nbc, e = xq.shape
     c = num_bins
-    w_pad = -(-width // 128) * 128
+    w_pad = ((width - 1) // TILE_COLS) * TILE_COLS + _COLS_TRI
     h_pad = (-(-height // TILE_ROWS) - 1) * TILE_ROWS + _ROWS_TRI
     # defensive clamp: a malformed descriptor must not RMW outside the VMEM
     # grid (our packers always satisfy this)
-    tile_r0 = jnp.clip(tile_r0, 0, h_pad - _ROWS_TRI)
+    r0s = jnp.clip(tile_r0 & 0xFFFF, 0, h_pad - _ROWS_TRI)
+    c0s = jnp.clip(tile_r0 >> 16, 0, w_pad - _COLS_TRI)
     arrays = _prep(xq, yq, pq, t_rel, counts, t_range, c)
-    kernel = functools.partial(
-        _tri_kernel, num_bins=c, nbc=nbc, chunk=e, width=w_pad,
-    )
+    kernel = functools.partial(_tri_kernel, num_bins=c, nbc=nbc, chunk=e)
     out = _call(kernel, nw, nbc, e, c, h_pad, w_pad, arrays,
-                (tile_r0, counts), interpret)
+                (r0s, c0s, counts), interpret)
     grid = out[:, :, :height, :width]
     if normalize:
         from openess_tpu.ops.voxelize import normalize_nonzero
@@ -403,16 +458,17 @@ def voxelize_chunked_bilinear_t(
     nw, nbc, e = xq.shape
     c = num_bins
     cout = 2 * c if separate_pol else c
-    w_pad = -(-width // 128) * 128
+    w_pad = -(-width // TILE_COLS) * TILE_COLS
     h_pad = -(-height // TILE_ROWS) * TILE_ROWS
-    tile_r0 = jnp.clip(tile_r0, 0, h_pad - TILE_ROWS)  # defensive clamp
+    # defensive clamp on the unpacked (row, col) descriptor halves
+    r0s = jnp.clip(tile_r0 & 0xFFFF, 0, h_pad - TILE_ROWS)
+    c0s = jnp.clip(tile_r0 >> 16, 0, w_pad - _COLS_BIL)
     arrays = _prep(xq, yq, pq, t_rel, counts, t_range, c)
     kernel = functools.partial(
-        _bil_kernel, num_bins=c, nbc=nbc, chunk=e, width=w_pad,
-        separate_pol=separate_pol,
+        _bil_kernel, num_bins=c, nbc=nbc, chunk=e, separate_pol=separate_pol,
     )
     out = _call(kernel, nw, nbc, e, cout, h_pad, w_pad, arrays,
-                (tile_r0, counts), interpret)
+                (r0s, c0s, counts), interpret)
     grid = out[:, :, :height, :width]
     if normalize:
         from openess_tpu.ops.voxelize import normalize_nonzero

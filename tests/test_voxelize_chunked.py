@@ -37,20 +37,27 @@ def test_chunker_invariants(rng):
     xq, yq, pq, tr, counts, r0s, t_range = chunk_events_window(
         x[0], y[0], p[0], t[0], valid[0], height=H, width=W, chunk=chunk
     )
-    nbc = num_chunks(k, H, chunk)
+    nbc = num_chunks(k, H, W, chunk)
     assert xq.shape == (nbc, chunk)
     assert counts.sum() <= valid[0].sum()
-    # every chunk touches exactly one 16-row tile; r0 monotone
+    # every chunk's events live in one 16-row tile with x corners inside the
+    # kernel's [c0, c0+256) lane block; (row tile, c0) monotone across chunks
+    segs = []
     for ci in range(nbc):
         n = counts[ci]
         if n == 0:
             continue
+        r0 = int(r0s[ci]) & 0xFFFF
+        c0 = int(r0s[ci]) >> 16
+        assert r0 % 16 == 0 and c0 % 128 == 0
         yd = _dequant(yq[ci, :n])
         y0 = np.trunc(yd).astype(int)
-        key = np.clip(y0, 0, H - 1)
-        assert (key // 16 == r0s[ci] // 16).all()
-        assert (y0 >= r0s[ci] - 1).all() and (y0 <= r0s[ci] + 15).all()
-    assert (np.diff(r0s) >= 0).all()
+        assert (np.clip(y0, 0, H - 1) // 16 == r0 // 16).all()
+        assert (y0 >= r0 - 1).all() and (y0 <= r0 + 15).all()
+        x0 = np.trunc(_dequant(xq[ci, :n])).astype(int)
+        assert (x0 >= c0 - 1).all() and (x0 + 1 <= c0 + 255).all()
+        segs.append((r0 // 16) * (W + 256) + c0)
+    assert (np.diff(segs) >= 0).all()
     # no event lost: total kept events = in-frame-corner events
     yq_all = np.round(y[0].astype(np.float64) * FIXED_POINT)
     xq_all = np.round(x[0].astype(np.float64) * FIXED_POINT)
@@ -118,6 +125,24 @@ def test_chunked_trilinear_dense_single_tile(rng):
     got = _compare_tri(x, y, p, t, valid, C, H, W, chunk=256)
     assert np.abs(got[0, :, :16]).max() == 0  # nothing outside the tile rows
     assert np.abs(got[0, :, 32:]).max() == 0
+
+
+def test_chunked_trilinear_multi_xtile_boundary(rng):
+    """W spanning 3 column tiles with events piled on the 128/256 column
+    boundaries: the x-corner pair must spill into the neighbor tile's lane
+    block, not get dropped."""
+    C, H, W = 4, 32, 300
+    nw, k = 1, 3000
+    x = np.concatenate([
+        rng.uniform(126.2, 129.8, (nw, k // 3)),
+        rng.uniform(254.2, 257.8, (nw, k // 3)),
+        rng.uniform(-1.5, W + 0.5, (nw, k - 2 * (k // 3))),
+    ], axis=1).astype(np.float32)
+    y = rng.uniform(-1.5, H + 0.5, (nw, k)).astype(np.float32)
+    p = rng.integers(0, 2, (nw, k)).astype(np.float32)
+    t = np.sort(rng.uniform(0, 1e6, (nw, k)), axis=1).astype(np.float32)
+    valid = np.ones((nw, k), bool)
+    _compare_tri(x, y, p, t, valid, C, H, W, chunk=256)
 
 
 def test_chunked_trilinear_empty_window(rng):
