@@ -44,6 +44,12 @@ class Settings:
     #     device pre-pass) and ships dense [B,T,bins,H,W] grids
     wire_format: str = "raw_events"
     host_voxelize: bool = True  # native C++ host voxelizer for 'grid' wire
+    # EXPERIMENTAL: run E2VID's head/enc0 in the 2x2 space-to-depth domain
+    # (exact conv rewrites, checkpoint-compatible). Measured SLOWER on
+    # v5e at B8 440x640 (711 vs 630 ms full step): XLA already packs
+    # narrow-channel conv activations, so the rewrite only adds transpose
+    # work (docs/ROOFLINE.md). Off by default; auto-disabled for odd dims.
+    e2vid_s2d: bool = False
     # --- model ---
     model_name: str = "open_ess"
     skip_connect_encoder: bool = True
@@ -180,6 +186,7 @@ def load_settings(settings_yaml: str, generate_log: bool = False) -> Settings:
     s.teacher_os = int(_get(y, "tpu", "teacher_os", default=4))
     s.wire_format = _get(y, "tpu", "wire_format", default="raw_events")
     s.host_voxelize = bool(_get(y, "tpu", "host_voxelize", default=True))
+    s.e2vid_s2d = bool(_get(y, "tpu", "e2vid_s2d", default=False))
     # model
     for k in (
         "model_name", "skip_connect_encoder", "skip_connect_task",

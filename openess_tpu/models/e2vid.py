@@ -78,8 +78,89 @@ class ConvTranspose2dTorch(nn.Module):
         return y
 
 
+def space_to_depth(x: Array) -> Array:
+    """[B, H, W, C] -> [B, H/2, W/2, 4C] with channel order c*4 + iy*2 + ix.
+
+    TPU layout lever (see docs/ROOFLINE.md): E2VID's head/enc0 activations
+    have 5/32 channels, which XLA pads to 128 lanes (25x/4x HBM waste). In
+    the 2x2 space-to-depth domain the head produces exactly 128 channels
+    and its 5x5 conv becomes an EXACT 3x3 conv (x4 in/out channels), so the
+    full-resolution stage runs unpadded.
+    """
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: Array, channels: int) -> Array:
+    """Inverse of :func:`space_to_depth` for channel order o*4 + iy*2 + ix."""
+    b, h2, w2, _ = x.shape
+    x = x.reshape(b, h2, w2, channels, 2, 2)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h2 * 2, w2 * 2, channels)
+
+
+def _s2d_kernel(w: Array, s2d_out: bool) -> Array:
+    """EXACT space-to-depth rewrite of a 5x5 conv kernel [5, 5, Ci, Co].
+
+    ``s2d_out=True``: stride-1 conv, s2d input AND output -> [3, 3, 4Ci, 4Co]
+    (the head). ``False``: stride-2 conv, s2d input, standard output ->
+    [3, 3, 4Ci, Co] (enc0; the stride is absorbed by the s2d grid).
+    Derivation: an original tap at offset v in {-2..3} lands at s2d offset
+    dy = v//2 with sub-pixel iy = v%2; each (dy, iy[, by]) combination is a
+    disjoint scatter of the original kernel, so the rewritten conv computes
+    the identical sum (extra taps are exact zeros).
+    """
+    k, _, ci, co = w.shape
+    assert k == 5, k
+    outs = (2, 2) if s2d_out else (1,)
+    kk = jnp.zeros(
+        (3, 3, 4 * ci, (4 if s2d_out else 1) * co), w.dtype
+    )
+    for ky in range(5):
+        for kx in range(5):
+            for by in range(2 if s2d_out else 1):
+                for bx in range(2 if s2d_out else 1):
+                    vy = by + ky - 2 if s2d_out else ky - 2
+                    vx = bx + kx - 2 if s2d_out else kx - 2
+                    dy, iy = vy // 2 + 1, vy % 2
+                    dx, ix = vx // 2 + 1, vx % 2
+                    if s2d_out:
+                        kk = kk.at[
+                            dy, dx, iy * 2 + ix :: 4, by * 2 + bx :: 4
+                        ].set(w[ky, kx])
+                    else:
+                        kk = kk.at[dy, dx, iy * 2 + ix :: 4, :].set(w[ky, kx])
+    return kk
+
+
+class _ConvParams(nn.Module):
+    """Bare conv parameters with nn.Conv's names/shapes/initializers, for
+    layers whose compute path is a transformed kernel (s2d)."""
+
+    kernel_shape: Sequence[int]
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), tuple(self.kernel_shape)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.kernel_shape[-1],)
+        )
+        return kernel, bias
+
+
 class ConvLayer(nn.Module):
-    """Conv + optional ReLU (submodules.py:7-31, norm=None in lightweight)."""
+    """Conv + optional ReLU (submodules.py:7-31, norm=None in lightweight).
+
+    ``s2d_mode``: 'none' = plain NHWC conv; 'in_out' = 5x5 stride-1 conv
+    computed in the 2x2 space-to-depth domain (s2d input and output);
+    'in' = 5x5 stride-2 conv on s2d input producing standard output. Both
+    are exact kernel rewrites sharing the ORIGINAL parameter shapes, so
+    checkpoints are layout-independent.
+    """
 
     features: int
     kernel_size: int
@@ -87,18 +168,35 @@ class ConvLayer(nn.Module):
     padding: int = 0
     relu: bool = True
     dtype: Any = jnp.float32
+    s2d_mode: str = "none"
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=[(self.padding, self.padding)] * 2,
-            use_bias=True,
-            dtype=self.dtype,
-            name="conv2d",
-        )(x)
+        if self.s2d_mode == "none":
+            y = nn.Conv(
+                self.features,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=[(self.padding, self.padding)] * 2,
+                use_bias=True,
+                dtype=self.dtype,
+                name="conv2d",
+            )(x)
+        else:
+            assert self.kernel_size == 5 and self.padding == 2
+            in_ch = x.shape[-1] // 4
+            w, b = _ConvParams(
+                (5, 5, in_ch, self.features), name="conv2d"
+            )()
+            s2d_out = self.s2d_mode == "in_out"
+            assert self.stride == (1 if s2d_out else 2)
+            kk = _s2d_kernel(w, s2d_out).astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kk, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            bias = jnp.repeat(b, 4) if s2d_out else b
+            y = y + bias.astype(y.dtype)
         return nn.relu(y) if self.relu else y
 
 
@@ -178,13 +276,22 @@ class UNetRecurrent(nn.Module):
     # discards `img` — finetune_trainer.py:334-338,375-377), so the decode
     # path is dead weight in every training step (~45 % of per-window FLOPs).
     decode: bool = True
+    # s2d: input arrives space-to-depth'd ([B, H/2, W/2, 4*bins]) and the
+    # head + enc0 convs run in that domain (exact rewrites, identical
+    # params), so no full-resolution activation has < 64 channels to
+    # lane-pad. latent["1"] is then returned in s2d form [B,H/2,W/2,4*base]
+    # — E2VIDReconstructor restores it after the scan.
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, prev_states: Optional[Sequence] = None):
         base = self.base_num_channels
         enc_out = [base * (2 ** (i + 1)) for i in range(self.num_encoders)]
 
-        x = ConvLayer(base, 5, 1, 2, dtype=self.dtype, name="head")(x)
+        x = ConvLayer(
+            base, 5, 1, 2, dtype=self.dtype, name="head",
+            s2d_mode="in_out" if self.s2d else "none",
+        )(x)
         head = x
 
         if prev_states is None:
@@ -192,7 +299,11 @@ class UNetRecurrent(nn.Module):
 
         blocks, states = [], []
         for i, out_ch in enumerate(enc_out):
-            x = ConvLayer(out_ch, 5, 2, 2, dtype=self.dtype, name=f"encoders_{i}/conv")(x)
+            x = ConvLayer(
+                out_ch, 5, 2, 2, dtype=self.dtype,
+                name=f"encoders_{i}/conv",
+                s2d_mode="in" if (self.s2d and i == 0) else "none",
+            )(x)
             x, st = ConvLSTMCell(out_ch, 3, dtype=self.dtype, name=f"encoders_{i}/lstm")(
                 x, prev_states[i]
             )
@@ -202,6 +313,8 @@ class UNetRecurrent(nn.Module):
         latent = {"1": head, "2": blocks[0], "4": blocks[1], "8": blocks[2]}
         if not self.decode:
             return None, states, latent
+        if self.s2d:
+            head = depth_to_space(head, base)
 
         for i in range(self.num_residual_blocks):
             x = ResidualBlock(enc_out[-1], dtype=self.dtype, name=f"resblocks_{i}")(x)
@@ -251,6 +364,7 @@ class _RecurrentStep(nn.Module):
     dtype: Any
     planar: bool = False
     decode: bool = True
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, carry, win):
@@ -259,18 +373,30 @@ class _RecurrentStep(nn.Module):
             # E2VIDReconstructor: a full-size tensor with a 5-wide dim would
             # let XLA's layout assignment materialize it bins-minor, padding
             # 5 -> 128 lanes: a 23 GB copy at B8 DSEC scale). Split bins back
-            # out and move to the NHWC channel position PER STEP, so the
-            # only bins-minor buffer is single-window sized.
+            # out PER STEP — into the s2d layout (4*bins >= 20 channels)
+            # when s2d, else NHWC — so the only small-minor buffer is
+            # single-window sized.
+            b = win.shape[0]
             bch, w = win.shape[1], win.shape[2]
+            h = bch // self.num_bins
             win = jax.lax.optimization_barrier(win)
-            win = win.reshape(win.shape[0], self.num_bins, bch // self.num_bins, w)
-            win = jnp.moveaxis(win, 1, -1)
+            win = win.reshape(b, self.num_bins, h, w)
+            if self.s2d:
+                win = win.reshape(b, self.num_bins, h // 2, 2, w // 2, 2)
+                win = win.transpose(0, 2, 4, 1, 3, 5)
+                win = win.reshape(b, h // 2, w // 2, 4 * self.num_bins)
+            else:
+                win = jnp.moveaxis(win, 1, -1)
+        elif self.s2d:
+            win = space_to_depth(win)
         if self.normalize:
+            # nonzero mean/std over the whole window tensor: invariant to
+            # the s2d permutation, so normalizing in s2d form is exact
             win = normalize_event_window(win)
         states, _ = carry
         img, states, latent = UNetRecurrent(
             num_input_channels=self.num_bins, dtype=self.dtype,
-            decode=self.decode, name="unet",
+            decode=self.decode, s2d=self.s2d, name="unet",
         )(win, states)
         return (tuple(states), latent), img
 
@@ -307,6 +433,16 @@ class E2VIDReconstructor(nn.Module):
     # scan unroll factor: >1 lets XLA software-pipeline the small per-window
     # convs across recurrence steps
     unroll: int = 1
+    # s2d (EXPERIMENTAL, off by default): run the full-resolution stage
+    # (head + enc0) in the 2x2 space-to-depth domain — exact conv rewrites
+    # with >= 64-channel activations. Parameters and returned shapes are
+    # unchanged (latent["1"] is restored after the scan). Requires even
+    # H and W; silently disabled otherwise. Measured SLOWER on v5e (B8
+    # 440x640 flagship step 711 vs 630 ms): XLA's conv layouts already
+    # pack narrow-channel activations spatially, so the hypothesized
+    # lane-padding saving does not materialize while the per-window s2d
+    # transposes and the +44 % head/enc0 MACs are real (docs/ROOFLINE.md).
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, windows: Array):
@@ -319,6 +455,7 @@ class E2VIDReconstructor(nn.Module):
             windows = windows.reshape(b, t, c * h, w)
         else:
             b, t, h, w = windows.shape[:4]
+        s2d = self.s2d and h % 2 == 0 and w % 2 == 0
         states0 = []
         for i in range(self.num_encoders):
             ch = self.base_num_channels * (2 ** (i + 1))
@@ -326,7 +463,17 @@ class E2VIDReconstructor(nn.Module):
             states0.append(
                 (jnp.zeros(sh, self.dtype), jnp.zeros(sh, self.dtype))
             )
-        latent0 = {"1": jnp.zeros((b, h, w, self.base_num_channels), self.dtype)}
+        if s2d:
+            latent0 = {
+                "1": jnp.zeros(
+                    (b, h // 2, w // 2, 4 * self.base_num_channels),
+                    self.dtype,
+                )
+            }
+        else:
+            latent0 = {
+                "1": jnp.zeros((b, h, w, self.base_num_channels), self.dtype)
+            }
         for i in range(self.num_encoders):
             latent0[str(2 ** (i + 1))] = jnp.zeros_like(states0[i][0])
 
@@ -341,9 +488,18 @@ class E2VIDReconstructor(nn.Module):
         )(
             self.num_bins, self.normalize, self.dtype,
             planar=self.planar_input, decode=not self.latent_only,
-            name="step",
+            s2d=s2d, name="step",
         )
         (_, final_latent), imgs = scanned((tuple(states0), latent0), xs)
+        if s2d:
+            final_latent = dict(
+                final_latent,
+                **{
+                    "1": depth_to_space(
+                        final_latent["1"], self.base_num_channels
+                    )
+                },
+            )
         if imgs is None:
             return None, final_latent
         return jnp.moveaxis(imgs, 0, 1), final_latent

@@ -122,6 +122,7 @@ def build_models(s: Settings, seed: int = 0) -> ModelSet:
         # reconstructed image (finetune_trainer.py:375-377), so skip the
         # UNet decode path — ~45 % of per-window FLOPs — in all T windows
         latent_only=True,
+        s2d=s.e2vid_s2d,
     )
     head = lambda lp=False: SemSegE2VID(
         input_c=256, num_classes=s.semseg_num_classes, linear_probe=lp, dtype=dt

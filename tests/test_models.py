@@ -207,3 +207,32 @@ def test_unet_on_reflect_padded_nonmultiple_size():
     cy, cx = Hc // 2, Wc // 2
     iy0, ix0 = cy - H // 2, cx - W // 2
     assert (iy0 + H <= Hc) and (ix0 + W <= Wc)
+
+
+def test_reconstructor_s2d_matches_standard(rng):
+    """The space-to-depth head/enc0 rewrite is exact: same params, same
+    imgs + latent pyramid (f32 round-off only), for planar and NHWC inputs
+    and with the decode path on."""
+    B, T, H, W = 1, 3, 32, 40
+    nhwc = rng.normal(size=(B, T, H, W, 5)).astype(np.float32)
+    nhwc[np.abs(nhwc) < 0.3] = 0.0
+    planar = np.moveaxis(nhwc, -1, 2)
+
+    std = E2VIDReconstructor()
+    params = std.init(jax.random.key(0), nhwc)
+    imgs_ref, lat_ref = std.apply(params, nhwc)
+
+    for planar_input, x in ((False, nhwc), (True, planar)):
+        m = E2VIDReconstructor(planar_input=planar_input, s2d=True)
+        imgs, lat = m.apply(params, x)
+        np.testing.assert_allclose(
+            np.asarray(imgs), np.asarray(imgs_ref), atol=2e-5
+        )
+        for k in ("1", "2", "4", "8"):
+            np.testing.assert_allclose(
+                np.asarray(lat[k]), np.asarray(lat_ref[k]), atol=2e-5,
+                err_msg=k,
+            )
+        # same param tree in both modes (checkpoint compatibility)
+        p2 = m.init(jax.random.key(0), x)
+        assert jax.tree_util.tree_structure(p2) == jax.tree_util.tree_structure(params)
