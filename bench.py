@@ -69,7 +69,7 @@ def numpy_baseline_voxelize(x, y, p, t, C, H, W):
     return grid
 
 
-def _backend_alive(timeout_s: float = 300.0) -> bool:
+def _backend_alive(timeout_s: float = 600.0) -> bool:
     """True if the default JAX backend initializes in a fresh interpreter.
 
     When the axon relay's remote pool is down, backend init hangs ~23 min
