@@ -469,8 +469,14 @@ def main():
 
     # Fail fast if the accelerator backend is unreachable (axon relay down):
     # still print the one JSON line, honestly labeled, from a CPU run.
+    # The probe subprocess pays a full extra backend init, so only run it in
+    # the relay environment where init can hang (PALLAS_AXON_POOL_IPS set).
     fallback = False
-    if os.environ.get("JAX_PLATFORMS", "") != "cpu" and not _backend_alive():
+    if (
+        os.environ.get("JAX_PLATFORMS", "") != "cpu"
+        and os.environ.get("PALLAS_AXON_POOL_IPS")
+        and not _backend_alive()
+    ):
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         import jax

@@ -13,7 +13,8 @@ Wire batch keys (all batch-sharded on the data mesh axis):
   ev_p         uint8 [B, T, NBC, E]
   ev_t         f32   [B, T, NBC, E]   time rel. to the window's first event
   ev_counts    int32 [B, T, NBC]      valid events per chunk
-  ev_r0        int32 [B, T, NBC]      chunk's 16-row tile offset
+  ev_r0        int32 [B, T, NBC]      packed chunk descriptor:
+                                      row-tile offset | (col-tile offset << 16)
   ev_trange    f32   [B, T]           window time range
 """
 from __future__ import annotations

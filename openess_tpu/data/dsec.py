@@ -6,7 +6,7 @@ Host side reads h5 events + PNG side-channels. Event delivery, by
 - ``raw_events`` (production default): the host counting-sorts events into
   the compact sorted-chunk wire (ev_* keys, 9 B/event — see
   data/device_voxelize.py) and the jitted step voxelizes on-device at
-  ~280 Mev/s;
+  ~1.2 Gev/s;
 - ``grid``: host voxelization (native C++ batched kernel, or a device
   pre-pass) shipping planar [B,T,bins,H,W] grids — the reference's
   per-sample 8-thread joblib fan-out (sequence_ov.py:304-305) equivalent.

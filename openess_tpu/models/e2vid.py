@@ -19,6 +19,7 @@ TPU-first deltas vs the reference:
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -101,23 +102,15 @@ def depth_to_space(x: Array, channels: int) -> Array:
     return x.reshape(b, h2 * 2, w2 * 2, channels)
 
 
-def _s2d_kernel(w: Array, s2d_out: bool) -> Array:
-    """EXACT space-to-depth rewrite of a 5x5 conv kernel [5, 5, Ci, Co].
+@functools.lru_cache(maxsize=None)
+def _s2d_index(ci: int, co: int, s2d_out: bool):
+    """Constant gather map for :func:`_s2d_kernel`: index into the flattened
+    [5,5,ci,co] kernel (with -1 = the appended zero slot) for every element
+    of the rewritten [3, 3, 4ci, (4|1)co] kernel."""
+    import numpy as np
 
-    ``s2d_out=True``: stride-1 conv, s2d input AND output -> [3, 3, 4Ci, 4Co]
-    (the head). ``False``: stride-2 conv, s2d input, standard output ->
-    [3, 3, 4Ci, Co] (enc0; the stride is absorbed by the s2d grid).
-    Derivation: an original tap at offset v in {-2..3} lands at s2d offset
-    dy = v//2 with sub-pixel iy = v%2; each (dy, iy[, by]) combination is a
-    disjoint scatter of the original kernel, so the rewritten conv computes
-    the identical sum (extra taps are exact zeros).
-    """
-    k, _, ci, co = w.shape
-    assert k == 5, k
-    outs = (2, 2) if s2d_out else (1,)
-    kk = jnp.zeros(
-        (3, 3, 4 * ci, (4 if s2d_out else 1) * co), w.dtype
-    )
+    idx = np.full((3, 3, 4 * ci, (4 if s2d_out else 1) * co), -1, np.int32)
+    src = np.arange(5 * 5 * ci * co, dtype=np.int32).reshape(5, 5, ci, co)
     for ky in range(5):
         for kx in range(5):
             for by in range(2 if s2d_out else 1):
@@ -127,12 +120,33 @@ def _s2d_kernel(w: Array, s2d_out: bool) -> Array:
                     dy, iy = vy // 2 + 1, vy % 2
                     dx, ix = vx // 2 + 1, vx % 2
                     if s2d_out:
-                        kk = kk.at[
-                            dy, dx, iy * 2 + ix :: 4, by * 2 + bx :: 4
-                        ].set(w[ky, kx])
+                        idx[dy, dx, iy * 2 + ix :: 4, by * 2 + bx :: 4] = (
+                            src[ky, kx]
+                        )
                     else:
-                        kk = kk.at[dy, dx, iy * 2 + ix :: 4, :].set(w[ky, kx])
-    return kk
+                        idx[dy, dx, iy * 2 + ix :: 4, :] = src[ky, kx]
+    return idx
+
+
+def _s2d_kernel(w: Array, s2d_out: bool) -> Array:
+    """EXACT space-to-depth rewrite of a 5x5 conv kernel [5, 5, Ci, Co].
+
+    ``s2d_out=True``: stride-1 conv, s2d input AND output -> [3, 3, 4Ci, 4Co]
+    (the head). ``False``: stride-2 conv, s2d input, standard output ->
+    [3, 3, 4Ci, Co] (enc0; the stride is absorbed by the s2d grid).
+    Derivation: an original tap at offset v in {-2..3} lands at s2d offset
+    dy = v//2 with sub-pixel iy = v%2; each (dy, iy[, by]) combination is a
+    disjoint scatter of the original kernel, so the rewritten conv computes
+    the identical sum (extra taps are exact zeros). Implemented as ONE
+    constant-index gather (not a scatter chain) so the rewrite stays cheap
+    even if XLA does not hoist it out of the ``nn.scan`` window loop.
+    """
+    k, _, ci, co = w.shape
+    assert k == 5, k
+    idx = _s2d_index(ci, co, s2d_out)
+    # -1 wraps to the appended zero slot
+    wf = jnp.concatenate([w.reshape(-1), jnp.zeros((1,), w.dtype)])
+    return wf[idx]
 
 
 class _ConvParams(nn.Module):

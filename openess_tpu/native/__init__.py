@@ -312,7 +312,7 @@ def chunk_events_windows_host(
             height=height, width=width, chunk=chunk,
             integer_coords=integer_coords,
         )
-    nbc = num_chunks(K, height, width, chunk)
+    nbc = num_chunks(K, height, width=width, chunk=chunk)
     xq = np.zeros((n_win, nbc, chunk), np.int16)
     yq = np.zeros((n_win, nbc, chunk), np.int16)
     pq = np.zeros((n_win, nbc, chunk), np.uint8)

@@ -74,7 +74,7 @@ _COLS_TRI = 2 * TILE_COLS
 _COLS_BIL = TILE_COLS
 
 
-def num_chunks(k: int, height: int, width: int, chunk: int = CHUNK) -> int:
+def num_chunks(k: int, height: int, *, width: int, chunk: int = CHUNK) -> int:
     """Worst-case chunk count for a window of ``k`` events: every chunk ends
     either full (≤ ceil(k/chunk) such cuts) or at a (row-tile × col-tile)
     segment change (≤ #segments)."""
@@ -102,7 +102,7 @@ def chunk_events_window(
     ``integer_coords`` enables the DDD17 convention (drop events outside the
     frame; no corner spill).
     """
-    nbc = num_chunks(x.shape[0], height, width, chunk)
+    nbc = num_chunks(x.shape[0], height, width=width, chunk=chunk)
     xq_o = np.zeros((nbc, chunk), np.int16)
     yq_o = np.zeros((nbc, chunk), np.int16)
     pq_o = np.zeros((nbc, chunk), np.uint8)

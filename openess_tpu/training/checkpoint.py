@@ -70,7 +70,11 @@ def _merge_superset(target, loaded, prefix=""):
             f"checkpoint shape mismatch at '{prefix}': "
             f"{np.shape(loaded)} vs {np.shape(target)}"
         )
-    return jax.numpy.asarray(loaded)
+    # Enforce the target's dtype like the strict StandardRestore path does —
+    # an as-saved dtype leaking through here would change the state pytree's
+    # dtypes and force a jit recompile (or a silent precision change).
+    dtype = target.dtype if hasattr(target, "dtype") else np.asarray(target).dtype
+    return jax.numpy.asarray(loaded, dtype=dtype)
 
 
 def restore_checkpoint(
@@ -99,32 +103,35 @@ def restore_checkpoint(
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     }
-    step = mgr.latest_step() if step is None else step
     try:
-        restored = mgr.restore(
-            step, args=ocp.args.Composite(state=ocp.args.StandardRestore(target))
-        )["state"]
-    except ValueError:
-        # structure mismatch — restore as-saved, then merge tolerantly
-        raw = mgr.restore(
-            step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
-        )["state"]
-        restored = {
-            "step": jax.numpy.asarray(raw["step"]),
-            "params": _merge_superset(state.params, raw["params"], "params"),
-            "batch_stats": _merge_superset(
-                state.batch_stats, raw["batch_stats"], "batch_stats"
-            ),
-            "opt_state": state.opt_state,
-        }
-        if restore_optimizer:
-            raise ValueError(
-                "restore_optimizer=True requires an exactly matching "
-                "checkpoint structure; this checkpoint's tree differs from "
-                "the current build (re-save with the current code, or resume "
-                "with restore_optimizer=False)"
-            )
-    mgr.close()
+        step = mgr.latest_step() if step is None else step
+        try:
+            restored = mgr.restore(
+                step,
+                args=ocp.args.Composite(state=ocp.args.StandardRestore(target)),
+            )["state"]
+        except ValueError:
+            # structure mismatch — restore as-saved, then merge tolerantly
+            if restore_optimizer:
+                raise ValueError(
+                    "restore_optimizer=True requires an exactly matching "
+                    "checkpoint structure; this checkpoint's tree differs from "
+                    "the current build (re-save with the current code, or "
+                    "resume with restore_optimizer=False)"
+                )
+            raw = mgr.restore(
+                step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
+            )["state"]
+            restored = {
+                "step": jax.numpy.asarray(raw["step"]),
+                "params": _merge_superset(state.params, raw["params"], "params"),
+                "batch_stats": _merge_superset(
+                    state.batch_stats, raw["batch_stats"], "batch_stats"
+                ),
+                "opt_state": state.opt_state,
+            }
+    finally:
+        mgr.close()
     return state.replace(
         step=restored["step"],
         params=restored["params"],

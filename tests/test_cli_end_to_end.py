@@ -245,19 +245,25 @@ def test_train_cli_finetune_writes_visuals(dsec_tree, tmp_path):
         assert expect in names, names
 
 
+@pytest.mark.slow
 def test_export_model_cli(dsec_tree, tmp_path):
     """tools/export_model.py: AOT-export the inference step, selfcheck the
     deserialized artifact against the live jit, write the blob."""
+    import os
+
     cfg = _pretrain_cfg(dsec_tree, tmp_path)
     cfg["dataset"]["DSEC_events"]["shape"] = [64, 96]
     cfg["optim"]["batch_size_b"] = 1
     cfg_path = tmp_path / "cfg_export.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg))
     out = tmp_path / "model.jexp"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     proc = subprocess.run(
         [sys.executable, "tools/export_model.py", "--settings_file",
          str(cfg_path), "--output", str(out), "--selfcheck", "--poly_batch"],
-        capture_output=True, text=True, timeout=900,
+        capture_output=True, text=True, timeout=900, cwd="/root/repo", env=env,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "selfcheck OK" in proc.stdout

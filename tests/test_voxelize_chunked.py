@@ -37,7 +37,7 @@ def test_chunker_invariants(rng):
     xq, yq, pq, tr, counts, r0s, t_range = chunk_events_window(
         x[0], y[0], p[0], t[0], valid[0], height=H, width=W, chunk=chunk
     )
-    nbc = num_chunks(k, H, W, chunk)
+    nbc = num_chunks(k, H, width=W, chunk=chunk)
     assert xq.shape == (nbc, chunk)
     assert counts.sum() <= valid[0].sum()
     # every chunk's events live in one 16-row tile with x corners inside the
