@@ -359,3 +359,90 @@ def test_convert_tool_cli(ref_style, ref_unet, tmp_path):
     got = tree["params"]["back_end"]["decoder_ch512"]["kernel"]
     want = params["back_end"]["decoder_ch512"]["kernel"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# E2VID reconstruction post-filters (inference_utils.py:38-46, 90-130, 234-253)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_inference_utils():
+    _load("refe2vid.utils.util", f"{REF}/e2vid/utils/util.py",
+          f"{REF}/e2vid/utils")
+    _load("refe2vid.utils.path_utils", f"{REF}/e2vid/utils/path_utils.py",
+          f"{REF}/e2vid/utils")
+    # the real timers' CudaTimer instantiates torch.cuda.Event, which is a
+    # dummy on CPU-only torch builds — stub both timers as no-op contexts
+    import contextlib
+
+    tstub = types.ModuleType("refe2vid.utils.timers")
+    tstub.Timer = tstub.CudaTimer = lambda name: contextlib.nullcontext()
+    sys.modules["refe2vid.utils.timers"] = tstub
+    # the real loading_utils imports the absolute `e2vid` package; the two
+    # filter classes under test only need get_device from it — stub it
+    stub = types.ModuleType("refe2vid.utils.loading_utils")
+    stub.get_device = lambda use_gpu=False: torch.device("cpu")
+    sys.modules["refe2vid.utils.loading_utils"] = stub
+    return _load("refe2vid.utils.inference_utils",
+                 f"{REF}/e2vid/utils/inference_utils.py", f"{REF}/e2vid/utils")
+
+
+def test_unsharp_mask_parity(ref_inference_utils):
+    """unsharp_mask == the reference UnsharpMaskFilter (gkern kernel, zero
+    'same' padding, no clipping)."""
+    iu = ref_inference_utils
+    opts = types.SimpleNamespace(unsharp_mask_amount=0.3, unsharp_mask_sigma=1.0)
+    ref = iu.UnsharpMaskFilter(opts, device="cpu")
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0.0, 1.0, (1, 1, 31, 37)).astype(np.float32)
+    want = ref(torch.from_numpy(img))[0, 0].numpy()
+
+    from openess_tpu.utils.image_filters import unsharp_mask
+
+    got = unsharp_mask(img[0, 0], amount=0.3, sigma=1.0)
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-6)
+
+
+def test_intensity_rescaler_parity(ref_inference_utils):
+    """IntensityRescaler == the reference, including the auto-HDR clamps,
+    the sliding-median smoothing across frames, and the uint8
+    quantize-dequantize."""
+    iu = ref_inference_utils
+    opts = types.SimpleNamespace(auto_hdr=True, auto_hdr_median_filter_size=3,
+                                 Imin=0.0, Imax=1.0)
+    ref = iu.IntensityRescaler(opts)
+
+    from openess_tpu.utils.image_filters import IntensityRescaler
+
+    ours = IntensityRescaler(auto_hdr=True, median_filter_size=3)
+    rng = np.random.default_rng(11)
+    for lo, hi in [(0.0, 1.0), (0.2, 0.9), (-0.3, 1.4), (0.4, 0.6), (0.1, 0.7)]:
+        img = rng.uniform(lo, hi, (1, 1, 16, 20)).astype(np.float32)
+        want = ref(torch.from_numpy(img))[0, 0].numpy()
+        got = ours(img[0, 0])
+        # identical uint8 quantization up to float rounding at bin edges
+        assert np.abs(got - want).max() <= 1.0 / 255.0 + 1e-6
+        assert (got == want).mean() > 0.98
+    assert ours.Imin == pytest.approx(ref.Imin)
+    assert ours.Imax == pytest.approx(ref.Imax)
+
+
+def test_recon_postprocess_chain_order(ref_inference_utils):
+    """The tool's chain (unsharp THEN rescale) matches the reference
+    reconstructor's order (image_reconstructor.py:135-136)."""
+    iu = ref_inference_utils
+    u_opts = types.SimpleNamespace(unsharp_mask_amount=0.3, unsharp_mask_sigma=1.0)
+    r_opts = types.SimpleNamespace(auto_hdr=False, auto_hdr_median_filter_size=10,
+                                   Imin=0.0, Imax=1.0)
+    ref_u = iu.UnsharpMaskFilter(u_opts, device="cpu")
+    ref_r = iu.IntensityRescaler(r_opts)
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0.0, 1.0, (1, 1, 24, 24)).astype(np.float32)
+    want = ref_r(ref_u(torch.from_numpy(img)))[0, 0].numpy()
+
+    from openess_tpu.utils.image_filters import intensity_rescale, unsharp_mask
+
+    got = intensity_rescale(unsharp_mask(img[0, 0], amount=0.3, sigma=1.0))
+    assert np.abs(got - want).max() <= 1.0 / 255.0 + 1e-6
+    assert (got == want).mean() > 0.98

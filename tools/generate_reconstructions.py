@@ -103,11 +103,11 @@ def main():
                     x[wi][m], y[wi][m], p[wi][m], t[wi][m], 5, H, W
                 )
             img = np.asarray(run(grids))[0]
-            # reference post-processing chain (image_reconstructor.py:
-            # intensity rescale + unsharp mask)
+            # reference post-processing chain, in the reference's order
+            # (image_reconstructor.py:135-136: unsharp mask, THEN rescale)
             from openess_tpu.utils.image_filters import intensity_rescale, unsharp_mask
 
-            img = unsharp_mask(intensity_rescale(img), amount=0.3, sigma=1.0)
+            img = intensity_rescale(unsharp_mask(img, amount=0.3, sigma=1.0))
             rgb = np.repeat((img * 255).astype(np.uint8)[..., None], 3, -1)
             Image.fromarray(rgb).save(op)
             if i % 20 == 0:
@@ -179,7 +179,7 @@ def reconstruct_event_file(args):
         win = jnp.asarray(grid.transpose(1, 2, 0)[None], jnp.float32)
         img, states = step(win, states)
         img = np.asarray(img)[0]
-        img = unsharp_mask(intensity_rescale(img), amount=0.3, sigma=1.0)
+        img = intensity_rescale(unsharp_mask(img, amount=0.3, sigma=1.0))
         Image.fromarray((img * 255).astype(np.uint8)).save(
             out_dir / f"frame_{i:010d}.png"
         )
