@@ -446,3 +446,54 @@ def test_recon_postprocess_chain_order(ref_inference_utils):
     got = intensity_rescale(unsharp_mask(img[0, 0], amount=0.3, sigma=1.0))
     assert np.abs(got - want).max() <= 1.0 / 255.0 + 1e-6
     assert (got == want).mean() > 0.98
+
+
+@pytest.mark.slow
+def test_generate_reconstructions_stream_cli(ref_unet, tmp_path):
+    """tools/generate_reconstructions.py --events_file end-to-end: a
+    torch-format E2VID checkpoint + a .txt event stream (run_reconstruction.py
+    contract) -> per-window reconstruction PNGs."""
+    import subprocess
+
+    tm = ref_unet.UNetRecurrent(
+        num_input_channels=5, num_output_channels=1, skip_type="sum",
+        recurrent_block_type="convlstm", activation="sigmoid",
+        num_encoders=3, base_num_channels=32, num_residual_blocks=2,
+        norm=None, use_upsample_conv=False,
+    ).eval()
+    ckpt = tmp_path / "E2VID_lightweight.pth.tar"
+    torch.save({"state_dict": tm.state_dict(), "arch": "UNetRecurrent"}, ckpt)
+
+    H, W = 32, 48
+    rng = np.random.default_rng(5)
+    n = 2000
+    t = np.sort(rng.uniform(0.0, 0.1, n))
+    lines = [f"{W} {H}"] + [
+        f"{t[i]:.6f} {rng.integers(0, W)} {rng.integers(0, H)} {rng.integers(0, 2)}"
+        for i in range(n)
+    ]
+    evf = tmp_path / "events.txt"
+    evf.write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "recons"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/generate_reconstructions.py"),
+         "--events_file", str(evf), "--output_dir", str(out),
+         "--height", str(H), "--width", str(W),
+         "--fixed_duration", "--window_duration", "25",
+         "--e2vid_ckpt", str(ckpt)],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+
+    from PIL import Image
+
+    pngs = sorted(out.glob("*.png"))
+    # 0.1 s of events / 25 ms windows; the trailing partial drops
+    assert len(pngs) == 3
+    img = np.asarray(Image.open(pngs[-1]))
+    assert img.shape[:2] == (H, W)
+    assert img.max() > 0  # the sigmoid head produces non-trivial intensities
