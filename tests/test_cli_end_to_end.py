@@ -280,3 +280,34 @@ def test_export_model_cli(dsec_tree, tmp_path):
         )
         pred, logits = restored.call(x)
         assert pred.shape == (b, 64, 96) and logits.shape[-1] == 11
+
+
+def test_generate_superpixels_slic_cli(tmp_path):
+    """tools/generate_superpixels_slic.py: DSEC tree walk -> sp_slic_rgb
+    id-map PNGs with the reference naming contract (*_slic_<n>.png)."""
+    import os
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "train" / "seq_a" / "images_aligned" / "left"
+    img_dir.mkdir(parents=True)
+    for i in range(2):
+        arr = np.zeros((48, 64, 3), np.uint8)
+        arr[:24] = rng.integers(100, 200, 3)   # two clear regions
+        arr[24:] = rng.integers(0, 80, 3)
+        Image.fromarray(arr).save(img_dir / f"{i:06d}.png")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.run(
+        [sys.executable, "tools/generate_superpixels_slic.py",
+         "--dataset", "dsec", "--root", str(tmp_path), "--n_segments", "8"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo", env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+
+    out = sorted((tmp_path / "train" / "seq_a" / "sp_slic_rgb" / "left").glob("*.png"))
+    assert [p.name for p in out] == ["000000_slic_8.png", "000001_slic_8.png"]
+    seg = np.asarray(Image.open(out[0]))
+    assert seg.shape == (48, 64) and seg.min() == 0 and 2 <= seg.max() + 1 <= 8
