@@ -25,6 +25,7 @@ from typing import Any, Optional, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = Any
 
@@ -107,8 +108,6 @@ def _s2d_index(ci: int, co: int, s2d_out: bool):
     """Constant gather map for :func:`_s2d_kernel`: index into the flattened
     [5,5,ci,co] kernel (with -1 = the appended zero slot) for every element
     of the rewritten [3, 3, 4ci, (4|1)co] kernel."""
-    import numpy as np
-
     idx = np.full((3, 3, 4 * ci, (4 if s2d_out else 1) * co), -1, np.int32)
     src = np.arange(5 * 5 * ci * co, dtype=np.int32).reshape(5, 5, ci, co)
     for ky in range(5):
@@ -477,17 +476,12 @@ class E2VIDReconstructor(nn.Module):
             states0.append(
                 (jnp.zeros(sh, self.dtype), jnp.zeros(sh, self.dtype))
             )
-        if s2d:
-            latent0 = {
-                "1": jnp.zeros(
-                    (b, h // 2, w // 2, 4 * self.base_num_channels),
-                    self.dtype,
-                )
-            }
-        else:
-            latent0 = {
-                "1": jnp.zeros((b, h, w, self.base_num_channels), self.dtype)
-            }
+        head_shape = (
+            (b, h // 2, w // 2, 4 * self.base_num_channels)
+            if s2d
+            else (b, h, w, self.base_num_channels)
+        )
+        latent0 = {"1": jnp.zeros(head_shape, self.dtype)}
         for i in range(self.num_encoders):
             latent0[str(2 ** (i + 1))] = jnp.zeros_like(states0[i][0])
 
@@ -506,14 +500,10 @@ class E2VIDReconstructor(nn.Module):
         )
         (_, final_latent), imgs = scanned((tuple(states0), latent0), xs)
         if s2d:
-            final_latent = dict(
-                final_latent,
-                **{
-                    "1": depth_to_space(
-                        final_latent["1"], self.base_num_channels
-                    )
-                },
-            )
+            final_latent = {
+                **final_latent,
+                "1": depth_to_space(final_latent["1"], self.base_num_channels),
+            }
         if imgs is None:
             return None, final_latent
         return jnp.moveaxis(imgs, 0, 1), final_latent
