@@ -142,6 +142,13 @@ class Settings:
             f"got {self.wire_format!r}"
         )
         self.sensor_b_name = self.dataset_name_b.split("_")[-1]
+        if self.dataset_name_b == "DDD17_events":
+            # the loader always delivers 200x352 regardless of the yaml's
+            # raw sensor shape ([200, 346] in the reference configs): width
+            # is resized 346 -> 352 and the bottom 60 of 260 rows cropped
+            # (data/ddd17.py:25, reference ddd17_events_loader.py:79-83) —
+            # model init shapes must match the delivered tensors
+            self.img_size_b = (200, 352)
         self.semseg_class_names = CLASS_NAMES[self.semseg_num_classes]
         self.semseg_color_map = COLOR_MAPS[self.semseg_num_classes]
         if self.event_representation_b == "voxel_grid":

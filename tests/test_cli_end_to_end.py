@@ -311,3 +311,101 @@ def test_generate_superpixels_slic_cli(tmp_path):
     assert [p.name for p in out] == ["000000_slic_8.png", "000001_slic_8.png"]
     seg = np.asarray(Image.open(out[0]))
     assert seg.shape == (48, 64) and seg.min() == 0 and 2 <= seg.max() + 1 <= 8
+
+
+@pytest.mark.slow
+def test_train_cli_ddd17_sup_only(tmp_path):
+    """DDD17 CLI end-to-end (the DSEC e2e's twin for C8): memmap events +
+    index maps + PNG side channels -> train.py sup_only recon2voxel ->
+    checkpoint + val metrics. Exercises the 352-resize/60-row-crop path and
+    the separate-pol bilinear-t voxelizer through the real CLI."""
+    import glob
+    import os
+
+    from openess_tpu.data.fixtures import write_ddd17_dir
+
+    rng = np.random.default_rng(13)
+    root = tmp_path / "ddd17"
+    for i in range(6):  # reference split: train=[0,2,3,4,5], valid=[1]
+        write_ddd17_dir(root / f"dir{i}", rng)
+
+    cfg = {
+        "dataset": {
+            "name_b": "DDD17_events",
+            "DDD17_events": {
+                "dataset_path": str(root),
+                "split_train": "train",
+                "shape": [200, 346],
+                "nr_events_data": 2,
+                "fixed_duration": False,
+                "delta_t_per_data": 50,
+                "require_paired_data_train": False,
+                "require_paired_data_val": False,
+                "nr_events_window": 400,
+                "event_representation": "voxel_grid",
+                "nr_temporal_bins": 5,
+                "separate_pol": True,
+                "normalize_event": False,
+            },
+        },
+        "task": {"semseg_num_classes": 6},
+        "dir": {"log": str(tmp_path / "log")},
+        "model": {
+            "model_name": "open_ess",
+            "skip_connect_encoder": True,
+            "skip_connect_task": True,
+            "skip_connect_task_type": "concat",
+            "data_augmentation_train": True,
+            "train_on_event_labels": False,
+            "unfrozen_e2vid": False,
+        },
+        "optim": {
+            "batch_size_b": 2,
+            "lr_voxel": 5e-4, "lr_recon": 5e-4, "lr_frame": 5e-4,
+            "lr_decay": 0.9, "num_epochs": 1, "val_epoch_step": 1,
+            "weight_task_loss": 1,
+            "task_loss": ["dice", "cross_entropy"],
+        },
+        "checkpoint": {
+            "save_checkpoint": True, "resume_training": False,
+            "load_pretrained_weights": False,
+            "resume_file": "", "pretrained_file": "",
+        },
+        "hardware": {"num_cpu_workers": 1},
+        "clip": {
+            "skip_ratio": 1,
+            "text_embeddings_path": "", "maskclip_checkpoint": "",
+            "visual_projs_path": "", "output_stride": 16,
+            "pre_trained_backbone": "",
+            "config_option": "recon2voxel",
+            "if_supervised_only": True,
+            "if_pretraining": False,
+            "superpixel_sources": "", "superpixel_size": 20,
+            "if_spatial_contrastive": False,
+            "image_weights": "dino",
+            "if_dense_clip_supervision": False,
+            "pl_sources": "",
+            "if_sam_distillation": False,
+            "if_finetuning": False, "load_pretrained_weights": False,
+            "if_switchable_train": False, "pretrained_file": "",
+        },
+        "tpu": {"compute_dtype": "float32", "mesh_data": 1, "mesh_model": 1},
+    }
+    cfg_path = tmp_path / "cfg_ddd17.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--settings_file", str(cfg_path)],
+        capture_output=True, text=True, timeout=3300, cwd="/root/repo", env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+
+    cks = glob.glob(str(tmp_path / "log" / "*" / "checkpoints" / "*"))
+    assert cks, proc.stdout[-1000:]
+    logs = glob.glob(str(tmp_path / "log" / "*" / "running.log"))
+    text = open(logs[0]).read()
+    assert "epoch 0 done" in text, text[-2000:]
+    assert "miou" in text.lower(), text[-2000:]

@@ -59,3 +59,45 @@ def test_event_image_shapes(rng):
     ev = rng.normal(size=(5, 16, 20)).astype(np.float32)
     img = event_image(ev)
     assert img.shape == (16, 20, 3) and img.dtype == np.uint8
+
+
+def test_profiling_timers():
+    """utils/profiling.py: section timers accumulate like the reference's
+    e2vid/utils/timers.py global-dict pattern; StepTimer reports a rate."""
+    import time
+
+    from openess_tpu.utils.profiling import (
+        StepTimer,
+        Timer,
+        reset_timers,
+        timer_summary,
+    )
+
+    reset_timers()
+    for _ in range(3):
+        with Timer("unit_sec"):
+            time.sleep(0.01)
+    summ = timer_summary()
+    assert summ["unit_sec"]["calls"] == 3
+    assert 0.02 <= summ["unit_sec"]["total_s"] < 5.0
+    reset_timers()
+    assert "unit_sec" not in timer_summary()
+
+    st = StepTimer(window=4)
+    for _ in range(5):
+        time.sleep(0.005)
+        st.tick()
+    assert st.steps_per_sec() > 0
+
+
+def test_profiling_trace_writes_artifacts(tmp_path):
+    """trace() wraps jax.profiler and leaves a TensorBoard-loadable trace."""
+    import jax
+    import jax.numpy as jnp
+
+    from openess_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path)):
+        jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    files = list(tmp_path.rglob("*"))
+    assert any(f.is_file() for f in files), files
