@@ -209,3 +209,27 @@ def test_tpu_section_knobs(tmp_path):
     p.write_text(yaml.safe_dump(cfg))
     s = load_settings(str(p))
     assert s.tp_mode == "channel" and s.teacher_os == 4
+
+
+@pytest.mark.slow
+def test_repo_config_matrix_models_build_abstract():
+    """Every shipped config's model set must BUILD at its real image size —
+    abstractly, via jax.eval_shape, so the whole 36-config matrix is
+    init-shape-checked in one test without any compute. (The DDD17 matrix
+    half once crashed at init because img_size_b carried the raw sensor
+    width 346 while the loader delivers 352 — this pins the fix for every
+    config.)"""
+    import glob
+
+    import jax
+
+    from openess_tpu.training.build import build_models
+
+    cfgs = sorted(glob.glob("/root/repo/configs/**/*.yaml", recursive=True))
+    assert len(cfgs) >= 36
+    for path in cfgs:
+        s = load_settings(path)
+        shapes = jax.eval_shape(lambda: build_models(s, seed=0).params)
+        assert shapes, path
+        for name, tree in shapes.items():
+            assert jax.tree.leaves(tree), (path, name)
