@@ -146,9 +146,21 @@ class Settings:
             # the loader always delivers 200x352 regardless of the yaml's
             # raw sensor shape ([200, 346] in the reference configs): width
             # is resized 346 -> 352 and the bottom 60 of 260 rows cropped
-            # (data/ddd17.py:25, reference ddd17_events_loader.py:79-83) —
-            # model init shapes must match the delivered tensors
-            self.img_size_b = (200, 352)
+            # (data/ddd17.py:24-26, reference ddd17_events_loader.py:79-83) —
+            # model init shapes must match the delivered tensors. Pinned to
+            # the loader constants by test_settings.py::test_ddd17_img_size
+            # _matches_loader_constants.
+            delivered = (200, 352)
+            if tuple(self.img_size_b) not in ((200, 346), delivered):
+                import warnings
+
+                warnings.warn(
+                    f"DDD17 yaml shape {tuple(self.img_size_b)} is ignored: "
+                    f"the loader always delivers {delivered} "
+                    "(346->352 resize + 60-row bottom crop)",
+                    stacklevel=2,
+                )
+            self.img_size_b = delivered
         self.semseg_class_names = CLASS_NAMES[self.semseg_num_classes]
         self.semseg_color_map = COLOR_MAPS[self.semseg_num_classes]
         if self.event_representation_b == "voxel_grid":

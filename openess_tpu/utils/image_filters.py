@@ -46,7 +46,16 @@ def unsharp_mask(img: np.ndarray, amount: float = 0.3, sigma: float = 1.0,
     if amount <= 0:
         return img
     k = gaussian_kernel(kernlen, sigma)
-    blurred = ndimage.convolve(img, k, mode="constant", cval=0.0)
+    if img.ndim == 3:
+        # (H, W, C): blur each channel independently
+        blurred = np.stack(
+            [ndimage.convolve(img[..., c], k, mode="constant", cval=0.0)
+             for c in range(img.shape[-1])], axis=-1,
+        )
+    elif img.ndim == 2:
+        blurred = ndimage.convolve(img, k, mode="constant", cval=0.0)
+    else:
+        raise ValueError(f"unsharp_mask expects (H, W) or (H, W, C), got {img.shape}")
     return (1.0 + amount) * img - amount * blurred
 
 
@@ -76,7 +85,9 @@ class IntensityRescaler:
             self.intensity_bounds.append((imin, imax))
             self.Imin = float(np.median([b[0] for b in self.intensity_bounds]))
             self.Imax = float(np.median([b[1] for b in self.intensity_bounds]))
-        out = 255.0 * (img - self.Imin) / (self.Imax - self.Imin)
+        # auto_hdr guarantees Imax - Imin >= 0.1; guard the manual path
+        # against a degenerate user-supplied span
+        out = 255.0 * (img - self.Imin) / max(self.Imax - self.Imin, 1e-9)
         out = np.clip(out, 0.0, 255.0)
         # torch .byte() truncates toward zero, then .float().div(255)
         return out.astype(np.uint8).astype(np.float32) / 255.0

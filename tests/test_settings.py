@@ -233,3 +233,33 @@ def test_repo_config_matrix_models_build_abstract():
         assert shapes, path
         for name, tree in shapes.items():
             assert jax.tree.leaves(tree), (path, name)
+
+
+def test_ddd17_img_size_matches_loader_constants(tmp_path):
+    """settings' DDD17 delivered shape is pinned to the loader constants
+    (data/ddd17.py) so the two can never drift apart silently."""
+    import warnings
+
+    import yaml as _yaml
+
+    from openess_tpu.data import ddd17
+
+    cfg = os.path.join(
+        HERE, "configs", "pretrain", "DDD17", "frame2voxel_fcclip_slic.yaml"
+    )
+    s = load_settings(cfg)
+    assert tuple(s.img_size_b) == (
+        ddd17.HEIGHT - ddd17.CROP_BOTTOM,
+        ddd17.RESIZE_W,
+    )
+
+    # a custom (non-reference) yaml shape is overridden WITH a warning
+    raw = _yaml.safe_load(open(cfg))
+    raw["dataset"]["DDD17_events"]["shape"] = [100, 100]
+    p = tmp_path / "custom_shape.yaml"
+    p.write_text(_yaml.safe_dump(raw))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s2 = load_settings(str(p))
+    assert tuple(s2.img_size_b) == (200, 352)
+    assert any("ignored" in str(x.message) for x in w)

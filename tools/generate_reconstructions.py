@@ -44,6 +44,14 @@ def main():
     ap.add_argument("--num_events_per_pixel", type=float, default=0.35,
                     help="fixed-count window size = H*W*this "
                          "(run_reconstruction.py convention)")
+    # reference post-processing knobs (e2vid/options/inference_options.py:31-47)
+    ap.add_argument("--unsharp_mask_amount", type=float, default=0.3)
+    ap.add_argument("--unsharp_mask_sigma", type=float, default=1.0)
+    ap.add_argument("--Imin", type=float, default=0.0)
+    ap.add_argument("--Imax", type=float, default=1.0)
+    ap.add_argument("--auto_hdr", action="store_true",
+                    help="compute Imin/Imax per frame, median-smoothed")
+    ap.add_argument("--auto_hdr_median_filter_size", type=int, default=10)
     args = ap.parse_args()
 
     if args.events_file:
@@ -130,7 +138,7 @@ def reconstruct_event_file(args):
     )
     from openess_tpu.models.torch_convert import load_e2vid_checkpoint
     from openess_tpu.native import voxelize_trilinear_host
-    from openess_tpu.utils.image_filters import intensity_rescale, unsharp_mask
+    from openess_tpu.utils.image_filters import IntensityRescaler, unsharp_mask
 
     H, W = args.height, args.width
     out_dir = Path(args.output_dir or "reconstructions_out")
@@ -170,6 +178,12 @@ def reconstruct_event_file(args):
         n = int(args.num_events_per_pixel * H * W)
         windows = fixed_size_event_windows(args.events_file, num_events=n)
 
+    # ONE stateful rescaler across the stream, so --auto_hdr's sliding
+    # median over (Imin, Imax) matches image_reconstructor.py:135-136
+    rescaler = IntensityRescaler(
+        imin=args.Imin, imax=args.Imax, auto_hdr=args.auto_hdr,
+        median_filter_size=args.auto_hdr_median_filter_size,
+    )
     states = None
     for i, ev in enumerate(windows):
         if ev.shape[0] == 0:
@@ -179,7 +193,9 @@ def reconstruct_event_file(args):
         win = jnp.asarray(grid.transpose(1, 2, 0)[None], jnp.float32)
         img, states = step(win, states)
         img = np.asarray(img)[0]
-        img = intensity_rescale(unsharp_mask(img, amount=0.3, sigma=1.0))
+        img = rescaler(unsharp_mask(
+            img, amount=args.unsharp_mask_amount, sigma=args.unsharp_mask_sigma
+        ))
         Image.fromarray((img * 255).astype(np.uint8)).save(
             out_dir / f"frame_{i:010d}.png"
         )
