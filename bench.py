@@ -45,6 +45,31 @@ PEAK_BF16 = (
 )
 
 
+# Snapshot of the most recent real-chip run of this script (see the
+# cpu_fallback path below). Update whenever a full on-chip bench completes.
+LAST_MEASURED_ON_CHIP = {
+    "measured_on": "TPU v5 lite via axon relay, 2026-08-18",
+    "metric": "voxelize_throughput",
+    "value": 283072832.0,
+    "unit": "events/s",
+    "vs_baseline": 214.03,
+    "tpu_pallas_chunked_events_per_s": 283072832.0,
+    "pretrain_step_ms_b8": 637.1,
+    "device_samples_per_s": 12.56,
+    "pretrain_step_ms_b8_teacher_os8": 588.2,
+    "eval_fwd_ms_b8": 403.0,
+    "eval_samples_per_s": 19.85,
+    "train_flops_per_step": 34570784735232.0,
+    "mfu_pct": 27.5,
+    "host_assembly_ms_b8": 211.3,
+    "host_chunk_pack_ms_b8": 211.3,
+    "host_feeds_chip": True,
+    "wire_format": "raw_events",
+    "pipeline_step_ms_b8_modeled_local_host": 637.1,
+    "pipeline_samples_per_s_modeled": 12.56,
+}
+
+
 def peak_flops(kind: str) -> float:
     k = kind.lower()
     for sub, f in PEAK_BF16:
@@ -502,6 +527,11 @@ def main():
             " device numbers are CPU, flagship step skipped"
         )
         extra["device_kind"] = "cpu (fallback)"
+        # Provenance-labeled snapshot of the most recent REAL-chip run of
+        # this same script (TPU v5e via the axon relay, 2026-08-18, matches
+        # docs/ROOFLINE.md) so a relay outage at report time does not erase
+        # measured results. These are NOT numbers from this invocation.
+        extra["last_measured_on_chip"] = LAST_MEASURED_ON_CHIP
         print(
             json.dumps(
                 {
