@@ -409,3 +409,53 @@ def test_train_cli_ddd17_sup_only(tmp_path):
     text = open(logs[0]).read()
     assert "epoch 0 done" in text, text[-2000:]
     assert "miou" in text.lower(), text[-2000:]
+
+
+def test_eval_annotation_free_scores_every_val_sample(dsec_tree, tmp_path,
+                                                      monkeypatch, capsys):
+    """tools/eval_annotation_free.py with a stubbed teacher: the printed acc
+    must equal the all-val-pixel fraction computed directly from the dataset
+    — proving the padded final batch scores every sample exactly once
+    (6 val samples at B4 -> 4+2)."""
+    import sys as _sys
+
+    import tools.eval_annotation_free as ev
+    from openess_tpu.config.settings import load_settings
+    from openess_tpu.data.loaders import build_datasets
+
+    cfg = _pretrain_cfg(dsec_tree, tmp_path)
+    cfg["optim"]["batch_size_b"] = 4
+    cfg_path = tmp_path / "eval_cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    batch_sizes = []
+
+    def stub_build(s):
+        def infer(img):
+            batch_sizes.append(int(img.shape[0]))
+            import jax.numpy as jnp
+
+            return jnp.zeros(img.shape[:3], jnp.int32)  # predict class 0
+
+        return infer
+
+    monkeypatch.setattr(ev, "build_maskclip_infer", stub_build)
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["eval", "--settings_file", str(cfg_path), "--source", "recon"],
+    )
+    ev.main()
+    out = capsys.readouterr().out
+
+    s = load_settings(str(cfg_path), generate_log=False)
+    _, val_ds = build_datasets(s)
+    n = len(val_ds)
+    assert n == 6 and batch_sizes == [4, 4]  # tail padded, not dropped
+    labels = np.concatenate(
+        [val_ds.get_batch([i])["label"] for i in range(n)]
+    )
+    valid = labels != s.semseg_ignore_label
+    want_acc = 100.0 * float((labels[valid] == 0).mean())
+    got = eval(out.strip().splitlines()[-1])  # the printed summary dict
+    # the tool prints percentages rounded to 2 decimals
+    assert abs(got["acc"] - want_acc) < 0.006

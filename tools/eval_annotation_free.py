@@ -95,10 +95,20 @@ def main():
         s.semseg_num_classes, s.semseg_ignore_label, s.semseg_class_names
     )
     bs = s.batch_size_b
-    for i in range(0, len(val_ds) - bs + 1, bs):
-        batch = val_ds.get_batch(list(range(i, i + bs)))
+    n = len(val_ds)
+    for i in range(0, n, bs):
+        idx = list(range(i, min(i + bs, n)))
+        pad = bs - len(idx)
+        # pad the final batch to the static batch size (no recompile) and
+        # mask the padded rows out of the confusion update — every val
+        # sample is scored exactly once (reference drop_last=False)
+        batch = val_ds.get_batch(idx + [idx[-1]] * pad)
         pred = np.asarray(infer(jnp.asarray(batch[args.source])))
-        metrics.update_batch(pred, batch["label"])
+        label = np.asarray(batch["label"])
+        if pad:
+            label = label.copy()
+            label[len(idx):] = s.semseg_ignore_label
+        metrics.update_batch(pred, label)
     out = metrics.get_metrics_summary()
     print({k: round(float(v), 2) for k, v in out.items() if k != "cm"})
 
