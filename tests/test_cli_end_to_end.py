@@ -459,3 +459,82 @@ def test_eval_annotation_free_scores_every_val_sample(dsec_tree, tmp_path,
     got = eval(out.strip().splitlines()[-1])  # the printed summary dict
     # the tool prints percentages rounded to 2 decimals
     assert abs(got["acc"] - want_acc) < 0.006
+
+
+def test_generate_superpixels_sam_cli(tmp_path, monkeypatch):
+    """tools/generate_superpixels_sam.py: both dataset path contracts, the
+    stubbed SAM backend (a fake segment_anything exercising the real
+    masks_to_id_map area-sort/overwrite), the slic fallback backend, and
+    resume-by-files."""
+    import sys as _sys
+    import types
+
+    from PIL import Image
+
+    import tools.generate_superpixels_sam as sp
+
+    rng = np.random.default_rng(0)
+
+    # --- DSEC tree, fake SAM backend ---
+    img_dir = tmp_path / "dsec" / "train" / "seq_a" / "images_aligned" / "left"
+    img_dir.mkdir(parents=True)
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+        ).save(img_dir / f"{i:06d}.png")
+
+    class FakeGen:
+        def __init__(self, sam):
+            pass
+
+        def generate(self, img):
+            h, w = img.shape[:2]
+            big = np.zeros((h, w), bool); big[:, : w // 2] = True
+            small = np.zeros((h, w), bool); small[:8, :8] = True
+            # area-ascending order on purpose: the tool must sort desc so
+            # the small mask overwrites the big one
+            return [
+                {"area": int(small.sum()), "segmentation": small},
+                {"area": int(big.sum()), "segmentation": big},
+            ]
+
+    fake = types.ModuleType("segment_anything")
+    fake.SamAutomaticMaskGenerator = FakeGen
+    fake.sam_model_registry = {"vit_h": lambda checkpoint: object()}
+    monkeypatch.setitem(_sys.modules, "segment_anything", fake)
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["sp", "--dataset", "dsec", "--root", str(tmp_path / "dsec"),
+         "--backend", "sam", "--sam_checkpoint", "x"],
+    )
+    sp.main()
+    out = sorted(
+        (tmp_path / "dsec" / "train" / "seq_a" / "sp_sam_rgb" / "left").glob("*.png")
+    )
+    assert [p.name for p in out] == ["000000.png", "000001.png"]
+    ids = np.asarray(Image.open(out[0]))
+    assert ids.shape == (48, 64)
+    assert ids[0, 0] == 2  # small mask (id 2) overwrote the big one (id 1)
+    assert ids[40, 0] == 1 and ids[0, 63] == 0  # big-mask rest / background
+
+    # resume-by-files: tamper one output, re-run, it must be left alone
+    Image.fromarray(np.full((4, 4), 7, np.uint8)).save(out[0])
+    sp.main()
+    assert np.asarray(Image.open(out[0])).shape == (4, 4)
+
+    # --- DDD17 tree, slic fallback backend ---
+    d_img = tmp_path / "ddd17" / "dir0" / "images_aligned"
+    d_img.mkdir(parents=True)
+    arr = np.zeros((40, 60, 3), np.uint8)
+    arr[:20] = 180
+    Image.fromarray(arr).save(d_img / "img_00000001.png")
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["sp", "--dataset", "ddd17", "--root", str(tmp_path / "ddd17"),
+         "--backend", "slic", "--n_segments", "8"],
+    )
+    sp.main()
+    seg = np.asarray(Image.open(
+        tmp_path / "ddd17" / "dir0" / "superpixels_sam" / "img_00000001.png"
+    ))
+    assert seg.shape == (40, 60) and seg.min() == 0 and 2 <= seg.max() + 1 <= 8
