@@ -2,7 +2,9 @@ from openess_tpu.models.deeplabv3 import ASPP, DeepLabHead, DeepLabV3TextSeg
 from openess_tpu.models.e2vid import (
     ConvLSTMCell,
     E2VIDReconstructor,
+    E2VIDStreamingStep,
     UNetRecurrent,
+    initial_stream_state,
     normalize_event_window,
 )
 from openess_tpu.models.image_teacher import (

@@ -507,3 +507,52 @@ class E2VIDReconstructor(nn.Module):
         if imgs is None:
             return None, final_latent
         return jnp.moveaxis(imgs, 0, 1), final_latent
+
+
+def initial_stream_state(batch: int, height: int, width: int, *,
+                         num_bins: int = 5, num_encoders: int = 3,
+                         base_num_channels: int = 32, dtype: Any = jnp.float32):
+    """Zero carry for :class:`E2VIDStreamingStep` — identical to the per-call
+    state reset :class:`E2VIDReconstructor` performs at scan start (matching
+    the reference's ``last_states_for_each_channel = None`` per batch,
+    pretrain_trainer.py:387)."""
+    del num_bins  # part of the serving contract, not of the state shape
+    states = []
+    for i in range(num_encoders):
+        ch = base_num_channels * (2 ** (i + 1))
+        sh = (batch, height // (2 ** (i + 1)), width // (2 ** (i + 1)), ch)
+        states.append((jnp.zeros(sh, dtype), jnp.zeros(sh, dtype)))
+    latent = {"1": jnp.zeros((batch, height, width, base_num_channels), dtype)}
+    for i in range(num_encoders):
+        latent[str(2 ** (i + 1))] = jnp.zeros_like(states[i][0])
+    return tuple(states), latent
+
+
+class E2VIDStreamingStep(nn.Module):
+    """ONE-window streaming form of :class:`E2VIDReconstructor` for serving.
+
+    ``__call__(carry, window)`` consumes a planar ``[B, bins, H, W]`` voxel
+    window plus the carried ``(lstm_states, latent)`` (zeros from
+    :func:`initial_stream_state` at stream start) and returns
+    ``((new_states, new_latent), img)`` — exactly one step of the
+    reconstructor's ``nn.scan``, with the SAME parameter tree (``nn.scan``
+    broadcasts params, so a checkpoint loads interchangeably into either
+    module; pinned by ``test_streaming_step_matches_scan``). A real-time
+    server carries the state across calls and pays ONE window of compute per
+    frame instead of replaying the full T-window history — the reference's
+    only inference form re-runs all 20 windows per prediction
+    (base_trainer_ov.py:402-471).
+    """
+
+    num_bins: int = 5
+    normalize: bool = True
+    dtype: Any = jnp.float32
+    latent_only: bool = False
+
+    @nn.compact
+    def __call__(self, carry, window):
+        win = jnp.moveaxis(window, 1, -1)  # planar [B, bins, H, W] -> NHWC
+        return _RecurrentStep(
+            self.num_bins, self.normalize, self.dtype,
+            planar=False, decode=not self.latent_only, name="step",
+        )(carry, win)

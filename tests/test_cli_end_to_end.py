@@ -538,3 +538,61 @@ def test_generate_superpixels_sam_cli(tmp_path, monkeypatch):
         tmp_path / "ddd17" / "dir0" / "superpixels_sam" / "img_00000001.png"
     ))
     assert seg.shape == (40, 60) and seg.min() == 0 and 2 <= seg.max() + 1 <= 8
+
+
+def test_export_model_streaming_cli(dsec_tree, tmp_path):
+    """tools/export_model.py --streaming: the real-time serving artifact
+    (carry, window) -> (carry, pred, logits), selfchecked, and a T-step
+    stream through the standalone artifact matches the batch artifact's
+    prediction on the same windows."""
+    import os
+
+    cfg = _pretrain_cfg(dsec_tree, tmp_path)
+    cfg["dataset"]["DSEC_events"]["shape"] = [64, 96]
+    cfg["optim"]["batch_size_b"] = 1
+    cfg_path = tmp_path / "cfg_stream.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    outs = {}
+    for mode, extra in (("batch", []), ("stream", ["--streaming"])):
+        out = tmp_path / f"model_{mode}.jexp"
+        proc = subprocess.run(
+            [sys.executable, "tools/export_model.py", "--settings_file",
+             str(cfg_path), "--output", str(out), "--selfcheck", *extra],
+            capture_output=True, text=True, timeout=900, cwd="/root/repo",
+            env=env,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert "selfcheck OK" in proc.stdout
+        outs[mode] = out
+
+    from jax import export as jexport
+
+    batch_fn = jexport.deserialize(bytearray(outs["batch"].read_bytes()))
+    stream_fn = jexport.deserialize(bytearray(outs["stream"].read_bytes()))
+
+    T = 2
+    rng = np.random.default_rng(0)
+    windows = rng.normal(0, 0.5, (1, T, 5, 64, 96)).astype(np.float32)
+    windows[windows < 0.2] = 0.0
+    pred_batch, logits_batch = batch_fn.call(windows)
+
+    import jax
+
+    from openess_tpu.models.e2vid import initial_stream_state
+
+    carry = jax.tree.map(
+        np.asarray, initial_stream_state(1, 64, 96)
+    )  # zeros, matching the artifact's carry avals
+    for t in range(T):
+        carry, pred_stream, logits_stream = stream_fn.call(
+            carry, windows[:, t]
+        )
+    np.testing.assert_array_equal(np.asarray(pred_batch), np.asarray(pred_stream))
+    np.testing.assert_allclose(
+        np.asarray(logits_batch, np.float32),
+        np.asarray(logits_stream, np.float32), atol=1e-4,
+    )

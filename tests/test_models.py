@@ -236,3 +236,34 @@ def test_reconstructor_s2d_matches_standard(rng):
         # same param tree in both modes (checkpoint compatibility)
         p2 = m.init(jax.random.key(0), x)
         assert jax.tree_util.tree_structure(p2) == jax.tree_util.tree_structure(params)
+
+
+def test_streaming_step_matches_scan(rng):
+    """E2VIDStreamingStep (the serving form: one window per call, carried
+    state) must reproduce the scanned reconstructor exactly — same param
+    tree, same per-window images, same final latent."""
+    from openess_tpu.models.e2vid import (
+        E2VIDStreamingStep,
+        initial_stream_state,
+    )
+
+    B, T, H, W = 1, 4, 32, 40
+    windows = rng.normal(size=(B, T, 5, H, W)).astype(np.float32)  # planar
+    windows[windows < 0.3] = 0.0
+
+    recon = E2VIDReconstructor(planar_input=True)
+    params = recon.init(jax.random.key(0), windows)
+    imgs, final_latent = recon.apply(params, windows)
+
+    stream = E2VIDStreamingStep()
+    carry = initial_stream_state(B, H, W)
+    for ti in range(T):
+        carry, img = stream.apply(params, carry, jnp.asarray(windows[:, ti]))
+        np.testing.assert_allclose(
+            np.asarray(imgs[:, ti]), np.asarray(img), atol=1e-5
+        )
+    _, latent = carry
+    for k in ("1", "2", "4", "8"):
+        np.testing.assert_allclose(
+            np.asarray(final_latent[k]), np.asarray(latent[k]), atol=1e-5
+        )
