@@ -469,13 +469,10 @@ class E2VIDReconstructor(nn.Module):
         else:
             b, t, h, w = windows.shape[:4]
         s2d = self.s2d and h % 2 == 0 and w % 2 == 0
-        states0 = []
-        for i in range(self.num_encoders):
-            ch = self.base_num_channels * (2 ** (i + 1))
-            sh = (b, h // (2 ** (i + 1)), w // (2 ** (i + 1)), ch)
-            states0.append(
-                (jnp.zeros(sh, self.dtype), jnp.zeros(sh, self.dtype))
-            )
+        states0 = list(initial_stream_state(
+            b, h, w, num_encoders=self.num_encoders,
+            base_num_channels=self.base_num_channels, dtype=self.dtype,
+        ))
         head_shape = (
             (b, h // 2, w // 2, 4 * self.base_num_channels)
             if s2d
@@ -510,49 +507,56 @@ class E2VIDReconstructor(nn.Module):
 
 
 def initial_stream_state(batch: int, height: int, width: int, *,
-                         num_bins: int = 5, num_encoders: int = 3,
-                         base_num_channels: int = 32, dtype: Any = jnp.float32):
-    """Zero carry for :class:`E2VIDStreamingStep` — identical to the per-call
-    state reset :class:`E2VIDReconstructor` performs at scan start (matching
-    the reference's ``last_states_for_each_channel = None`` per batch,
-    pretrain_trainer.py:387)."""
-    del num_bins  # part of the serving contract, not of the state shape
+                         num_encoders: int = 3, base_num_channels: int = 32,
+                         dtype: Any = jnp.float32):
+    """Zero ConvLSTM states for :class:`E2VIDStreamingStep` — identical to
+    the per-call state reset :class:`E2VIDReconstructor` performs at scan
+    start (matching the reference's ``last_states_for_each_channel = None``
+    per batch, pretrain_trainer.py:387)."""
     states = []
     for i in range(num_encoders):
         ch = base_num_channels * (2 ** (i + 1))
         sh = (batch, height // (2 ** (i + 1)), width // (2 ** (i + 1)), ch)
         states.append((jnp.zeros(sh, dtype), jnp.zeros(sh, dtype)))
-    latent = {"1": jnp.zeros((batch, height, width, base_num_channels), dtype)}
-    for i in range(num_encoders):
-        latent[str(2 ** (i + 1))] = jnp.zeros_like(states[i][0])
-    return tuple(states), latent
+    return tuple(states)
 
 
 class E2VIDStreamingStep(nn.Module):
     """ONE-window streaming form of :class:`E2VIDReconstructor` for serving.
 
-    ``__call__(carry, window)`` consumes a planar ``[B, bins, H, W]`` voxel
-    window plus the carried ``(lstm_states, latent)`` (zeros from
+    ``__call__(states, window)`` consumes a planar ``[B, bins, H, W]`` voxel
+    window plus the carried ConvLSTM states (zeros from
     :func:`initial_stream_state` at stream start) and returns
-    ``((new_states, new_latent), img)`` — exactly one step of the
-    reconstructor's ``nn.scan``, with the SAME parameter tree (``nn.scan``
-    broadcasts params, so a checkpoint loads interchangeably into either
-    module; pinned by ``test_streaming_step_matches_scan``). A real-time
-    server carries the state across calls and pays ONE window of compute per
-    frame instead of replaying the full T-window history — the reference's
-    only inference form re-runs all 20 windows per prediction
-    (base_trainer_ov.py:402-471).
+    ``(new_states, latent, img)`` — exactly one step of the reconstructor's
+    ``nn.scan``, with the SAME parameter tree (``nn.scan`` broadcasts
+    params, so a checkpoint loads interchangeably into either module; pinned
+    by ``test_streaming_step_matches_scan``). The carry is the LSTM states
+    ONLY — the latent pyramid is a per-step OUTPUT, never fed back, so a
+    server round-trips ~half the bytes per frame. A real-time server carries
+    the states across calls and pays ONE window of compute per frame instead
+    of replaying the full T-window history — the reference's only inference
+    form re-runs all 20 windows per prediction (base_trainer_ov.py:402-471).
     """
 
     num_bins: int = 5
     normalize: bool = True
     dtype: Any = jnp.float32
     latent_only: bool = False
+    base_num_channels: int = 32
 
     @nn.compact
-    def __call__(self, carry, window):
+    def __call__(self, states, window):
         win = jnp.moveaxis(window, 1, -1)  # planar [B, bins, H, W] -> NHWC
-        return _RecurrentStep(
+        b, h, w = win.shape[:3]
+        # placeholder latent carry: _RecurrentStep never reads it
+        # (steps.py consumers use only the final OUTPUT latent)
+        latent0 = {
+            "1": jnp.zeros((b, h, w, self.base_num_channels), self.dtype)
+        }
+        for i, (c, _) in enumerate(states):
+            latent0[str(2 ** (i + 1))] = jnp.zeros_like(c)
+        (new_states, latent), img = _RecurrentStep(
             self.num_bins, self.normalize, self.dtype,
             planar=False, decode=not self.latent_only, name="step",
-        )(carry, win)
+        )((tuple(states), latent0), win)
+        return new_states, latent, img

@@ -584,14 +584,18 @@ def test_export_model_streaming_cli(dsec_tree, tmp_path):
 
     from openess_tpu.models.e2vid import initial_stream_state
 
-    carry = jax.tree.map(
+    states = jax.tree.map(
         np.asarray, initial_stream_state(1, 64, 96)
     )  # zeros, matching the artifact's carry avals
     for t in range(T):
-        carry, pred_stream, logits_stream = stream_fn.call(
-            carry, windows[:, t]
+        states, pred_stream, logits_stream = stream_fn.call(
+            states, windows[:, t]
         )
-    np.testing.assert_array_equal(np.asarray(pred_batch), np.asarray(pred_stream))
+    # two differently-compiled programs: logits agree to numeric noise, so
+    # argmax may flip on near-ties — require near-total agreement, not
+    # bitwise equality
+    agree = (np.asarray(pred_batch) == np.asarray(pred_stream)).mean()
+    assert agree > 0.999, agree
     np.testing.assert_allclose(
         np.asarray(logits_batch, np.float32),
         np.asarray(logits_stream, np.float32), atol=1e-4,

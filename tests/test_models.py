@@ -256,13 +256,14 @@ def test_streaming_step_matches_scan(rng):
     imgs, final_latent = recon.apply(params, windows)
 
     stream = E2VIDStreamingStep()
-    carry = initial_stream_state(B, H, W)
+    states = initial_stream_state(B, H, W)
     for ti in range(T):
-        carry, img = stream.apply(params, carry, jnp.asarray(windows[:, ti]))
+        states, latent, img = stream.apply(
+            params, states, jnp.asarray(windows[:, ti])
+        )
         np.testing.assert_allclose(
             np.asarray(imgs[:, ti]), np.asarray(img), atol=1e-5
         )
-    _, latent = carry
     for k in ("1", "2", "4", "8"):
         np.testing.assert_allclose(
             np.asarray(final_latent[k]), np.asarray(latent[k]), atol=1e-5

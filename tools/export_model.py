@@ -19,10 +19,10 @@ Input contract (static shapes, chosen at export time):
 Output: ``(pred [B, H, W] int32, logits [B, H, W, num_classes])``.
 
 ``--streaming`` (voxel options) instead exports the real-time serving step
-``(carry, window [B, C, H, W] f32) -> (carry, pred, logits)``: the caller
-holds the ConvLSTM state/latent carry between calls (zeros at stream start,
-shapes in the artifact's ``in_avals``), paying ONE window of compute per
-frame instead of replaying the T-window history.
+``(states, window [B, C, H, W] f32) -> (states, pred, logits)``: the caller
+holds the ConvLSTM states between calls (zeros at stream start, shapes in
+the artifact's ``in_avals``), paying ONE window of compute per frame
+instead of replaying the T-window history.
 
 Usage:
   python tools/export_model.py --settings_file configs/<cfg>.yaml \
@@ -76,8 +76,8 @@ def build_infer_fn(s, mset):
 
 def build_streaming_fn(s, mset):
     """Closure ``(carry, window) -> (carry, pred, logits)`` for real-time
-    serving: ONE planar ``[B, bins, H, W]`` voxel window per call, ConvLSTM
-    state + latent carried by the caller (zeros at stream start — the
+    serving: ONE planar ``[B, bins, H, W]`` voxel window per call, the
+    ConvLSTM states carried by the caller (zeros at stream start — the
     artifact's ``in_avals`` spell out the carry pytree). Pays one window of
     compute per frame instead of replaying the full T-window history."""
     import jax
@@ -98,16 +98,15 @@ def build_streaming_fn(s, mset):
     )
     h, w = s.img_size_b
 
-    def infer(carry, window):
-        carry, _ = stream.apply(
-            {"params": params["front_sensor_b"]}, carry, window
+    def infer(states, window):
+        states, latent, _ = stream.apply(
+            {"params": params["front_sensor_b"]}, states, window
         )
-        _, latent = carry
         (logits, _), _ = sb._apply(
             "back_end", params, bstats, latent, sb.mset.text_embeddings,
             train=False,
         )
-        return carry, jnp.argmax(logits, axis=-1).astype(jnp.int32), logits
+        return states, jnp.argmax(logits, axis=-1).astype(jnp.int32), logits
 
     carry0 = initial_stream_state(s.batch_size_b, h, w, dtype=dt)
     win_spec = jax.ShapeDtypeStruct(
