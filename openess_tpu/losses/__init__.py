@@ -24,7 +24,12 @@ def cross_entropy(logits: Array, labels: Array, *, ignore_index: int = 255) -> A
     valid = labels != ignore_index
     labels_safe = jnp.where(valid, labels, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, labels_safe[..., None], axis=-1)[..., 0]
+    # one-hot contraction instead of take_along_axis: the per-pixel gather
+    # serializes on TPU (measured 21 ms/step on the B8 flagship vs <1 ms for
+    # the C-wide multiply-sum), and its transpose is a scatter; values are
+    # identical (finite logp rows x exact {0,1} mask).
+    onehot = jax.nn.one_hot(labels_safe, logits.shape[-1], dtype=logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     nll = jnp.where(valid, nll, 0.0)
     return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
 

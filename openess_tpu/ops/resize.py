@@ -36,14 +36,19 @@ def _axis_coords(in_size: int, out_size: int, align_corners: bool):
     return lo, hi, w
 
 
-@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "align_corners"))
-def resize_bilinear(
-    x: Array, *, out_h: int, out_w: int, align_corners: bool = False
-) -> Array:
-    """Bilinear resize of ``[..., H, W, C]`` to ``[..., out_h, out_w, C]``."""
+def _resize_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """Dense ``[out, in]`` interpolation matrix (rows sum to 1)."""
+    lo, hi, w = _axis_coords(in_size, out_size, align_corners)
+    m = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, lo), 1.0 - w)  # add.at: lo==hi at clipped edges
+    np.add.at(m, (rows, hi), w)
+    return m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _resize_core(x: Array, out_h: int, out_w: int, align_corners: bool) -> Array:
     h, w = x.shape[-3], x.shape[-2]
-    if (h, w) == (out_h, out_w):
-        return x
     dt = x.dtype
     xf = x.astype(jnp.float32)
 
@@ -58,6 +63,53 @@ def resize_bilinear(
         + jnp.take(rows, hi, axis=-2) * wx[:, None]
     )
     return out.astype(dt)
+
+
+def _resize_core_fwd(x, out_h, out_w, align_corners):
+    # zero-byte token carrying the static input (H, W) and dtype
+    token = jnp.zeros((x.shape[-3], x.shape[-2], 0), x.dtype)
+    return _resize_core(x, out_h, out_w, align_corners), token
+
+
+def _resize_core_bwd(out_h, out_w, align_corners, res, g):
+    """Exact separable transpose as two small dense matmuls.
+
+    XLA transposes the forward's gather-lerp chain into per-pixel
+    scatter-adds, which serialize on TPU (measured ~45 ms/step in the B8
+    flagship teacher upsample backward, incl. forced f32 relayout copies).
+    The adjoint of a separable linear resize is itself separable:
+    ``g_in = My^T @ g @ Mx`` with tiny banded matrices — a few GFLOP on the
+    MXU instead of a 2.2M-element scatter.
+    """
+    h, w, dtype = res.shape[0], res.shape[1], res.dtype
+    g32 = g.astype(jnp.float32)
+    hi_p = jax.lax.Precision.HIGHEST
+    my = jnp.asarray(_resize_matrix(h, out_h, align_corners))  # [out_h, h]
+    mx = jnp.asarray(_resize_matrix(w, out_w, align_corners))  # [out_w, w]
+    # contract the axis whose reduction shrinks the tensor more first
+    cost_h_first = out_w * h * out_h + h * w * out_w
+    cost_w_first = out_h * w * out_w + h * w * out_h
+    if cost_h_first <= cost_w_first:
+        gh = jnp.einsum("...hwc,hu->...uwc", g32, my, precision=hi_p)
+        gi = jnp.einsum("...uwc,wv->...uvc", gh, mx, precision=hi_p)
+    else:
+        gw = jnp.einsum("...hwc,wv->...hvc", g32, mx, precision=hi_p)
+        gi = jnp.einsum("...hvc,hu->...uvc", gw, my, precision=hi_p)
+    return (gi.astype(dtype),)
+
+
+_resize_core.defvjp(_resize_core_fwd, _resize_core_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "align_corners"))
+def resize_bilinear(
+    x: Array, *, out_h: int, out_w: int, align_corners: bool = False
+) -> Array:
+    """Bilinear resize of ``[..., H, W, C]`` to ``[..., out_h, out_w, C]``."""
+    h, w = x.shape[-3], x.shape[-2]
+    if (h, w) == (out_h, out_w):
+        return x
+    return _resize_core(x, out_h, out_w, align_corners)
 
 
 def upsample2x_nearest(x: Array) -> Array:

@@ -20,6 +20,30 @@ def test_bilinear_matches_torch(rng, align, sizes):
     np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
+@pytest.mark.parametrize("align", [False, True])
+@pytest.mark.parametrize("sizes", [((28, 40), (440, 640)), ((55, 80), (28, 40)), ((13, 9), (26, 36))])
+def test_bilinear_grad_matches_torch(rng, align, sizes):
+    """The custom VJP (dense separable transpose) vs torch autograd."""
+    import jax
+    import jax.numpy as jnp
+
+    (h, w), (oh, ow) = sizes
+    x = rng.normal(size=(2, h, w, 3)).astype(np.float32)
+    g = rng.normal(size=(2, oh, ow, 3)).astype(np.float32)
+
+    def f(xx):
+        y = resize_bilinear(xx, out_h=oh, out_w=ow, align_corners=align)
+        return jnp.sum(y * jnp.asarray(g))
+
+    ours = np.asarray(jax.grad(f)(jnp.asarray(x)))
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2).requires_grad_(True)
+    yt = F.interpolate(xt, size=(oh, ow), mode="bilinear", align_corners=align)
+    yt.backward(torch.from_numpy(g).permute(0, 3, 1, 2))
+    ref = xt.grad.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-4)
+
+
 def test_upsample2x_nearest_matches_torch(rng):
     x = rng.normal(size=(2, 13, 17, 4)).astype(np.float32)
     ours = np.asarray(upsample2x_nearest(x))
