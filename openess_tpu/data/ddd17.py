@@ -270,8 +270,10 @@ class DDD17Dataset:
             if s.event_representation_b == "histogram":
                 batch["event"] = self._host_voxelize(ev)
             elif s.wire_format == "raw_events":
-                # production wire: compact sorted-chunk event streams; the
+                # production wire: compact sorted-chunk event streams
+                # (trimmed to the bucketed batch-max chunk count); the
                 # jitted step voxelizes + resizes on-device
+                from openess_tpu.data.device_voxelize import wire_reuse_ok
                 from openess_tpu.native import chunk_events_windows_host
 
                 T = s.nr_events_data_b
@@ -285,6 +287,7 @@ class DDD17Dataset:
                     np.stack([e[4] for e in ev]).reshape(B * T, K),
                     height=HEIGHT, width=WIDTH, integer_coords=True,
                     n_threads=s.num_cpu_workers,
+                    reuse_buffers=wire_reuse_ok(),
                 )
                 from openess_tpu.data.device_voxelize import pack_wire_batch
 

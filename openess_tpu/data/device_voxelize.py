@@ -33,6 +33,17 @@ def has_wire(batch) -> bool:
     return "ev_x" in batch
 
 
+def wire_reuse_ok() -> bool:
+    """Whether the packer's double-buffered output reuse is safe here.
+
+    On accelerator backends ``device_put`` copies the host buffer (and
+    ``shard_batch`` blocks on the copy), so the loader can recycle wire
+    buffers. The CPU backend may alias numpy memory zero-copy — a recycled
+    buffer would mutate live device arrays — so reuse stays off there.
+    """
+    return jax.default_backend() != "cpu"
+
+
 def pack_wire_batch(wire, batch_size: int, num_windows: int) -> dict:
     """Chunker output tuple -> the ev_* batch keys (the ONE place that knows
     the wire-dict layout; datasets/bench call this)."""

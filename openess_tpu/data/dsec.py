@@ -306,8 +306,10 @@ class DSECDataset:
                     grids[:, :, : H - 40].reshape(B, T, 2, H - 40, W)
                 )
             elif s.wire_format == "raw_events":
-                # production wire: compact sorted-chunk event streams; the
+                # production wire: compact sorted-chunk event streams
+                # (trimmed to the bucketed batch-max chunk count); the
                 # jitted step voxelizes on-device (data/device_voxelize.py)
+                from openess_tpu.data.device_voxelize import wire_reuse_ok
                 from openess_tpu.native import chunk_events_windows_host
 
                 B = len(ev)
@@ -318,6 +320,7 @@ class DSECDataset:
                     np.stack([e[3] for e in ev]).reshape(B * T, K),
                     np.stack([e[4] for e in ev]).reshape(B * T, K),
                     height=H, width=W, n_threads=s.num_cpu_workers,
+                    reuse_buffers=wire_reuse_ok(),
                 )
                 from openess_tpu.data.device_voxelize import pack_wire_batch
 

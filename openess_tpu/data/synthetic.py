@@ -115,8 +115,10 @@ class SyntheticESS:
 
     def raw_wire_batch(self, indices, num_bins: int = 5) -> dict:
         """Batch with events in the compact sorted-chunk wire format
-        (tpu.wire_format: raw_events); the jitted step voxelizes on-device."""
-        from openess_tpu.ops.voxelize_chunked import chunk_events_batch
+        (tpu.wire_format: raw_events), trimmed to the bucketed batch-max
+        chunk count exactly as the production datasets ship it; the jitted
+        step voxelizes on-device."""
+        from openess_tpu.native import chunk_events_windows_host
 
         out = {k: [] for k in ("frame", "recon", "label", "pl",
                                "superpixel", "sam_feat")}
@@ -135,7 +137,7 @@ class SyntheticESS:
         batch = {k: np.stack(v) for k, v in out.items()}
         B = len(indices)
         cat = lambda a: np.concatenate(a, axis=0)
-        wire = chunk_events_batch(
+        wire = chunk_events_windows_host(
             cat(xs), cat(ys), cat(ps), cat(ts).astype(np.float64), cat(vs),
             height=self.height, width=self.width,
         )

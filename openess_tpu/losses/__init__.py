@@ -20,16 +20,24 @@ Array = jax.Array
 
 
 def cross_entropy(logits: Array, labels: Array, *, ignore_index: int = 255) -> Array:
-    """Mean cross-entropy over non-ignored pixels (torch CE semantics)."""
-    valid = labels != ignore_index
+    """Mean cross-entropy over non-ignored pixels (torch CE semantics).
+
+    Out-of-range labels (``>= C`` but ``!= ignore_index``) are treated as
+    ignored — excluded from BOTH the numerator and the valid-pixel
+    denominator — so corrupt labels fail loudly in coverage stats instead of
+    silently contributing zero loss.
+    """
+    num_classes = logits.shape[-1]
+    valid = (labels != ignore_index) & (labels >= 0) & (labels < num_classes)
     labels_safe = jnp.where(valid, labels, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     # one-hot contraction instead of take_along_axis: the per-pixel gather
     # serializes on TPU (measured 21 ms/step on the B8 flagship vs <1 ms for
-    # the C-wide multiply-sum), and its transpose is a scatter; values are
-    # identical (finite logp rows x exact {0,1} mask).
-    onehot = jax.nn.one_hot(labels_safe, logits.shape[-1], dtype=logp.dtype)
-    nll = -jnp.sum(logp * onehot, axis=-1)
+    # the C-wide multiply-sum), and its transpose is a scatter. Select the
+    # target logp with where (not 0 * logp): a masked/-inf logit elsewhere in
+    # the row must not turn the sum into 0 * (-inf) = NaN.
+    onehot = jax.nn.one_hot(labels_safe, num_classes, dtype=logp.dtype)
+    nll = -jnp.sum(jnp.where(onehot > 0, logp, 0.0), axis=-1)
     nll = jnp.where(valid, nll, 0.0)
     return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
 

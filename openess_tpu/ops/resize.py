@@ -105,7 +105,14 @@ _resize_core.defvjp(_resize_core_fwd, _resize_core_bwd)
 def resize_bilinear(
     x: Array, *, out_h: int, out_w: int, align_corners: bool = False
 ) -> Array:
-    """Bilinear resize of ``[..., H, W, C]`` to ``[..., out_h, out_w, C]``."""
+    """Bilinear resize of ``[..., H, W, C]`` to ``[..., out_h, out_w, C]``.
+
+    Matches torch ``F.interpolate(mode='bilinear')`` for both
+    ``align_corners`` settings. Reverse-mode only: the ``jax.custom_vjp``
+    underneath (whose transpose is the exact [out, in]->[in, out] matrix
+    product instead of a scatter) means ``jax.jvp``/``jacfwd`` through this
+    op raises; nothing in the repo uses forward-mode AD.
+    """
     h, w = x.shape[-3], x.shape[-2]
     if (h, w) == (out_h, out_w):
         return x

@@ -21,10 +21,12 @@ Design (TPU-first, no scatter, no device sort):
 
 2. **Compact wire format** (9 B/event vs 20 B raw f32 SoA, vs ~56 B/event of
    grid): ``x, y`` int16 fixed-point (coord × 32, 1/32-px resolution —
-   covers rectified DSEC floats and integer DDD17 coords; quantization error
-   ≤ 1/64 px, far below event-count noise), ``p`` uint8, ``t_rel`` float32
-   relative to the window's first valid event (exact for µs timestamps —
-   *better* than the reference's f32 cast of absolute timestamps).
+   covers rectified DSEC floats and integer DDD17 coords; the fraction is
+   quantized relative to trunc(x) so the trunc-toward-zero corner pair is
+   preserved EXACTLY and the coord error is ≤ 1/32 px, far below
+   event-count noise), ``p`` uint8, ``t_rel`` float32 relative to the
+   window's first valid event (exact for µs timestamps — *better* than the
+   reference's f32 cast of absolute timestamps).
 
 3. **Pallas kernel**: one grid step per window; the per-window output grid
    lives in VMEM. For each chunk the trilinear 8-corner splat
@@ -122,11 +124,29 @@ def chunk_events_window(
     t_range = np.float32(dt if dt > 0 else 1.0)  # representations.py:24 dt>0
 
     # quantize FIRST; every downstream decision uses the dequantized value so
-    # the kernel's tile guarantee holds exactly
-    xq = np.clip(np.round(np.asarray(x, np.float64) * FIXED_POINT),
-                 np.iinfo(np.int16).min, np.iinfo(np.int16).max).astype(np.int32)
-    yq = np.clip(np.round(np.asarray(y, np.float64) * FIXED_POINT),
-                 np.iinfo(np.int16).min, np.iinfo(np.int16).max).astype(np.int32)
+    # the kernel's tile guarantee holds exactly. The fraction is quantized
+    # RELATIVE to trunc(x) and clamped to +/-31/32 so the dequantized coord
+    # always keeps the original trunc-toward-zero corner pair: the
+    # reference's weight function is DISCONTINUOUS at negative integers
+    # (torch .int() flips the pair {x0, x0+1} -> {x0-1, x0} there, jumping
+    # the x0+1 corner's quirk weight from ~-1 to 0), so plain round(x*32)
+    # could cross that boundary and misplace nearly a full event weight at
+    # border cells. Worst-case coord error is 1/32 px (at the clamp), with
+    # corner identity exact.
+    def quant(a):
+        af = np.asarray(a, np.float64)
+        a0 = np.trunc(af)
+        fq = np.clip(
+            np.round((af - a0) * FIXED_POINT),
+            -(FIXED_POINT - 1), FIXED_POINT - 1,
+        )
+        return np.clip(
+            a0 * FIXED_POINT + fq,
+            np.iinfo(np.int16).min, np.iinfo(np.int16).max,
+        ).astype(np.int32)
+
+    xq = quant(x)
+    yq = quant(y)
     # trunc-toward-zero of the dequantized coord (torch .int() semantics)
     y0 = (np.abs(yq) // FIXED_POINT) * np.sign(yq)
 

@@ -71,7 +71,12 @@ def shard_batch(batch: dict, mesh: Mesh, spatial: bool = False) -> dict:
         spec = P("data", *dims)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return {k: put(k, v) for k, v in batch.items()}
+    out = {k: put(k, v) for k, v in batch.items()}
+    # Block on the H2D copies (in the prefetch worker, off the step's
+    # critical path): the packer's reused wire buffers (native.
+    # chunk_events_windows_host(reuse_buffers=True)) may be overwritten as
+    # soon as the same worker assembles a later batch.
+    return jax.block_until_ready(out)
 
 
 def replicate(tree, mesh: Mesh):

@@ -171,7 +171,7 @@ def test_chunk_events_windows_matches_numpy(rng, integer_coords, n_threads):
 
     got = chunk_events_windows_host(
         x, y, p, t, valid, height=H, width=W, chunk=256,
-        integer_coords=integer_coords, n_threads=n_threads,
+        integer_coords=integer_coords, n_threads=n_threads, trim=False,
     )
     ref = chunk_events_batch(
         x, y, p, t, valid, height=H, width=W, chunk=256,
@@ -181,3 +181,48 @@ def test_chunk_events_windows_matches_numpy(rng, integer_coords, n_threads):
     for name, u, v in zip(names, got, ref):
         assert u.shape == v.shape and u.dtype == v.dtype, name
         np.testing.assert_array_equal(u, v, err_msg=name)
+
+    # trim=True (production default): the wire's chunk axis shrinks to the
+    # bucketed batch-max USED chunk count, and every array bit-matches the
+    # untrimmed wire's [:, :nbc] slice (zero padding included)
+    trimmed = chunk_events_windows_host(
+        x, y, p, t, valid, height=H, width=W, chunk=256,
+        integer_coords=integer_coords, n_threads=n_threads, trim=True,
+    )
+    nbc_t = trimmed[0].shape[1]
+    used = int((ref[4] > 0).sum(axis=1).max())
+    assert used <= nbc_t < ref[0].shape[1], (used, nbc_t, ref[0].shape[1])
+    for name, u, v in zip(names[:6], trimmed, ref):
+        np.testing.assert_array_equal(u, v[:, :nbc_t], err_msg="trim " + name)
+    np.testing.assert_array_equal(trimmed[6], ref[6], err_msg="trim t_range")
+
+
+def test_chunk_events_reuse_buffers_double_buffered(rng):
+    """reuse_buffers=True recycles outputs per (thread, shape) with a
+    2-rotation: call N's arrays survive call N+1 and are identical to a
+    fresh-buffer run; call N+2 may overwrite them."""
+    from openess_tpu.native import HAVE_NATIVE, chunk_events_windows_host
+
+    if not HAVE_NATIVE:
+        pytest.skip("native library unavailable")
+    NW, K, H, W = 2, 3000, 48, 96
+    def make():
+        x = rng.uniform(0, W - 1, (NW, K)).astype(np.float32)
+        y = rng.uniform(0, H - 1, (NW, K)).astype(np.float32)
+        p = rng.integers(0, 2, (NW, K)).astype(np.float32)
+        t = np.sort(rng.uniform(0, 1e5, (NW, K)), axis=1)
+        v = np.ones((NW, K), bool)
+        return x, y, p, t, v
+
+    a1, a2 = make(), make()
+    kw = dict(height=H, width=W, chunk=256, n_threads=1)
+    w1 = chunk_events_windows_host(*a1, reuse_buffers=True, **kw)
+    w2 = chunk_events_windows_host(*a2, reuse_buffers=True, **kw)
+    f1 = chunk_events_windows_host(*a1, reuse_buffers=False, **kw)
+    f2 = chunk_events_windows_host(*a2, reuse_buffers=False, **kw)
+    for u, v in zip(w1, f1):
+        np.testing.assert_array_equal(u, v)  # survived one more call
+    for u, v in zip(w2, f2):
+        np.testing.assert_array_equal(u, v)
+    # the two live rotations are distinct buffers
+    assert not np.shares_memory(w1[0], w2[0])

@@ -30,6 +30,39 @@ def _dequant(q):
     return q.astype(np.float32) / FIXED_POINT
 
 
+def test_quantization_preserves_corner_pair():
+    """The wire quantization must never move a coord across a
+    trunc-toward-zero boundary: the reference weight function is
+    DISCONTINUOUS at negative integers (torch .int() flips the corner pair
+    there), so e.g. x=-0.9901 rounding to -1.0 would misplace ~a full event
+    weight at the border column (caught by a real-TPU verify drive)."""
+    H, W, chunk = 48, 96, 64
+    # coords straddling every discontinuity class, incl. exact integers
+    xs = np.array(
+        [-1.9999, -1.0001, -1.0, -0.9901, -0.9999, -0.0001, 0.0,
+         0.9999, 1.0001, 94.9999, 95.0001], np.float32,
+    )
+    k = xs.size
+    y = np.full((k,), 7.3, np.float32)
+    p = np.ones((k,), np.float32)
+    t = np.linspace(0.0, 1e5, k).astype(np.float32)
+    xq, yq, pq, tr, counts, r0s, t_range = chunk_events_window(
+        xs, y, p, t, np.ones(k, bool), height=H, width=W, chunk=chunk
+    )
+    got = np.sort(
+        np.concatenate(
+            [_dequant(xq[ci, : counts[ci]]) for ci in range(len(counts))]
+        )
+    )
+    # the chunker's keep rule: any corner of {x0, x0+1} inside [0, W)
+    orig = np.sort(xs[(xs > -2.0) & (xs < W)])
+    assert got.size == orig.size, (got.size, orig.size)
+    # corner identity: trunc of every dequantized coord == trunc of original
+    np.testing.assert_array_equal(np.trunc(got), np.trunc(orig))
+    # and the coord error is bounded by the 1/32-px clamp
+    assert np.abs(got - orig).max() <= 1.0 / FIXED_POINT + 1e-6
+
+
 def test_chunker_invariants(rng):
     H, W, k = 48, 96, 3000
     x, y, p, t, valid = _events(rng, 1, k, H, W)
@@ -58,9 +91,18 @@ def test_chunker_invariants(rng):
         assert (x0 >= c0 - 1).all() and (x0 + 1 <= c0 + 255).all()
         segs.append((r0 // 16) * (W + 256) + c0)
     assert (np.diff(segs) >= 0).all()
-    # no event lost: total kept events = in-frame-corner events
-    yq_all = np.round(y[0].astype(np.float64) * FIXED_POINT)
-    xq_all = np.round(x[0].astype(np.float64) * FIXED_POINT)
+    # no event lost: total kept events = in-frame-corner events (mirror the
+    # corner-pair-preserving quantization: fraction rounded rel. to trunc,
+    # clamped to +/-31/32)
+    def _quant(a):
+        af = a.astype(np.float64)
+        a0 = np.trunc(af)
+        fq = np.clip(np.round((af - a0) * FIXED_POINT),
+                     -(FIXED_POINT - 1), FIXED_POINT - 1)
+        return a0 * FIXED_POINT + fq
+
+    yq_all = _quant(y[0])
+    xq_all = _quant(x[0])
     expect = (
         valid[0]
         & (yq_all > -2 * FIXED_POINT) & (yq_all < H * FIXED_POINT)
@@ -82,13 +124,17 @@ def _compare_tri(x, y, p, t, valid, C, H, W, chunk, rtol=5e-3):
     )
     # reference on the SAME dequantized coords (and the chunker's exact
     # keep-semantics are corner-equivalent to the scatter masks)
+    def _deq(a):
+        af = a.astype(np.float64)
+        a0 = np.trunc(af)
+        fq = np.clip(np.round((af - a0) * FIXED_POINT),
+                     -(FIXED_POINT - 1), FIXED_POINT - 1)
+        return ((a0 * FIXED_POINT + fq) / FIXED_POINT).astype(np.float32)
+
     ref = np.stack([
         np.asarray(
             voxelize_windows_trilinear(
-                np.round(x[w].astype(np.float64) * FIXED_POINT).astype(
-                    np.float32) / FIXED_POINT,
-                np.round(y[w].astype(np.float64) * FIXED_POINT).astype(
-                    np.float32) / FIXED_POINT,
+                _deq(x[w]), _deq(y[w]),
                 p[w], t[w], valid[w],
                 num_windows=1, num_bins=C, height=H, width=W,
             )
