@@ -261,13 +261,11 @@ def convert_transformer_decoder(
     return p
 
 
-def convert_fcclip_checkpoint(path: str):
-    """Load the released detectron2 checkpoint and return
-    (fcclip_params, text_encoder_params) flax trees."""
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = ckpt.get("model", ckpt)
+def convert_state_dict(sd: Dict[str, Any]):
+    """Released ``model`` state dict -> (fcclip_params, text_encoder_params)
+    flax trees. Every inference-path tensor is consumed; the manifest test
+    (tests/test_fcclip.py::test_convert_consumes_released_manifest) proves
+    completeness against the released key/shape manifest."""
     params = {
         "visual": convert_visual_trunk(sd),
         "visual_proj": convert_visual_projection(sd),
@@ -278,3 +276,22 @@ def convert_fcclip_checkpoint(path: str):
     }
     text = convert_text_encoder(sd)
     return params, text
+
+
+def convert_fcclip_checkpoint(path: str, validate: bool = True):
+    """Load the released detectron2 checkpoint and return
+    (fcclip_params, text_encoder_params) flax trees.
+
+    ``validate`` checks the file against the released
+    ``fcclip_cocopan.pth`` key/shape manifest FIRST, so a wrong or
+    corrupted download fails loudly instead of silently mis-converting the
+    teacher every pseudo-label depends on."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    if validate:
+        from openess_tpu.models.fcclip.manifest import validate_state_dict
+
+        validate_state_dict(sd)
+    return convert_state_dict(sd)

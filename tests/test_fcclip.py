@@ -1030,3 +1030,154 @@ def test_fcclip_e2e_semantic_parity(ref_meta, ref_pd, ref_dec, rng,
     assert got.shape == ref_np.shape
     err = np.abs(got - ref_np).max() / (np.abs(ref_np).max() + 1e-9)
     assert err < 0.02, err  # <=2% relative on the semantic map
+
+
+# ---------------------------------------------------------------------------
+# Released-checkpoint manifest contract (VERDICT r3 #4): the conversion path
+# must consume EVERY key of the public fcclip_cocopan.pth state dict and
+# emit the full flax tree — a wrong trunk detail silently corrupts every
+# pseudo-label, so any future real-weights run must only be able to fail
+# loudly.
+# ---------------------------------------------------------------------------
+
+
+def test_released_manifest_matches_torch_replicas(ref_pd, ref_dec):
+    """Triangulate the analytic manifest generator against the torch
+    replicas that are themselves e2e-parity-validated above: at the small
+    test configuration, generator keys+shapes == replica state_dict."""
+    from openess_tpu.models.fcclip.manifest import released_manifest
+
+    DEPTHS, DIMS = (1, 1, 2, 1), (16, 24, 32, 48)
+    ED, CD, MD, NQ, DL, EL, NH = 40, 32, 32, 12, 2, 2, 4
+    TW, TL, VOCAB, CTX = 24, 2, 50, 9
+
+    torch.manual_seed(0)
+    backbone = _TorchBackbone(DEPTHS, DIMS, ED)
+    shape_spec = {
+        f"res{i + 2}": ref_pd.ShapeSpec(channels=c, stride=4 * 2**i)
+        for i, c in enumerate(DIMS)
+    }
+    tpd = ref_pd.MSDeformAttnPixelDecoder(
+        input_shape=shape_spec, transformer_dropout=0.0,
+        transformer_nheads=NH, transformer_dim_feedforward=1024,
+        transformer_enc_layers=EL, conv_dim=CD, mask_dim=MD, norm="GN",
+        transformer_in_features=["res3", "res4", "res5"], common_stride=4,
+    )
+    tdec = ref_dec.MultiScaleMaskedTransformerDecoder(
+        in_channels=CD, mask_classification=True, num_classes=4,
+        hidden_dim=CD, num_queries=NQ, nheads=NH, dim_feedforward=2048,
+        dec_layers=DL, pre_norm=False, mask_dim=MD,
+        enforce_input_project=False, clip_embedding_dim=ED,
+    )
+    text = _TorchCLIPTextTower(VOCAB, CTX, TW, 2, TL, ED)
+    full = nn.Module()
+    full.backbone = backbone
+    full.sem_seg_head = _TorchSemSegHead(tpd, tdec)
+    full.void_embedding = nn.Embedding(1, ED)
+    sd = {k: v for k, v in full.state_dict().items()}
+    sd.update({
+        "backbone.clip_model." + k: v for k, v in text.state_dict().items()
+    })
+
+    man = released_manifest(
+        depths=DEPTHS, dims=DIMS, embed_dim=ED, text_width=TW,
+        text_layers=TL, vocab=VOCAB, context=CTX, conv_dim=CD, mask_dim=MD,
+        enc_layers=EL, dec_layers=DL, n_heads=NH, num_queries=NQ,
+        include_ignored=False,  # the replica has no criterion buffer
+    )
+    got = {k: tuple(v.shape) for k, v in sd.items()}
+    missing = sorted(set(man) - set(got))
+    extra = sorted(set(got) - set(man))
+    assert not missing, f"manifest keys absent from replica: {missing[:10]}"
+    assert not extra, f"replica keys absent from manifest: {extra[:10]}"
+    bad = {k: (got[k], man[k]) for k in man if got[k] != man[k]}
+    assert not bad, f"shape disagreements: {dict(list(bad.items())[:10])}"
+
+
+class _RecordingSD(dict):
+    """State dict serving zero tensors at manifest shapes, recording every
+    key the converter reads; unknown keys raise KeyError."""
+
+    def __init__(self, manifest):
+        super().__init__({k: None for k in manifest})
+        self._man = dict(manifest)
+        self.accessed = set()
+
+    def __getitem__(self, k):
+        self.accessed.add(k)
+        return torch.zeros(self._man[k])
+
+
+def test_convert_consumes_released_manifest():
+    """At the FULL released size: convert_state_dict must read every
+    inference-path key of fcclip_cocopan.pth (nothing silently dropped) and
+    produce trees whose paths+shapes exactly match the flax modules' init
+    trees (nothing silently coerced), and validate_state_dict must reject
+    corrupted downloads."""
+    import jax
+    import jax.numpy as jnp
+
+    from openess_tpu.models.fcclip import FCCLIP
+    from openess_tpu.models.fcclip.backbone import CLIPTextEncoder
+    from openess_tpu.models.fcclip.convert import convert_state_dict
+    from openess_tpu.models.fcclip.manifest import (
+        IGNORED_KEYS,
+        released_manifest,
+        validate_state_dict,
+    )
+
+    man = released_manifest()
+    sd = _RecordingSD(man)
+    params, text_params = convert_state_dict(sd)
+
+    consumed_expected = set(man) - set(IGNORED_KEYS)
+    unread = sorted(consumed_expected - sd.accessed)
+    assert not unread, f"{len(unread)} released keys never consumed: {unread[:10]}"
+
+    def paths(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        return {
+            jax.tree_util.keystr(p): tuple(np.shape(v)) for p, v in flat
+        }
+
+    # flax init trees at the released architecture (eval_shape: no compute)
+    model = FCCLIP()
+    img = jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32)
+    tc = jax.ShapeDtypeStruct((7, 768), jnp.float32)
+    overlap = jax.ShapeDtypeStruct((4,), jnp.int32)
+    variables = jax.eval_shape(
+        lambda i, t, o: model.init(jax.random.key(0), i, t, (1, 2, 1, 3), o),
+        img, tc, overlap,
+    )
+    want = paths(variables["params"])
+    got = paths(params)
+    missing = sorted(set(want) - set(got))
+    extra = sorted(set(got) - set(want))
+    assert not missing, f"converter omits {len(missing)} params: {missing[:10]}"
+    assert not extra, f"converter invents {len(extra)} params: {extra[:10]}"
+    bad = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not bad, f"shape coercions: {dict(list(bad.items())[:10])}"
+
+    tokens = jax.ShapeDtypeStruct((2, 77), jnp.int32)
+    tvars = jax.eval_shape(
+        lambda tk: CLIPTextEncoder().init(jax.random.key(0), tk), tokens
+    )
+    twant = paths(tvars["params"])
+    tgot = paths(text_params)
+    assert set(twant) == set(tgot), (
+        sorted(set(twant) ^ set(tgot))[:10]
+    )
+    tbad = {k: (tgot[k], twant[k]) for k in twant if tgot[k] != twant[k]}
+    assert not tbad, f"text shape coercions: {dict(list(tbad.items())[:10])}"
+
+    # loud failure on a corrupted download
+    full_sd = {k: torch.zeros(s) for k, s in man.items()}
+    validate_state_dict(full_sd)  # complete dict passes
+    broken = dict(full_sd)
+    broken.pop("backbone.clip_model.visual.trunk.stem.0.weight")
+    with pytest.raises(ValueError, match="missing"):
+        validate_state_dict(broken)
+    broken = dict(full_sd)
+    broken["void_embedding.weight"] = torch.zeros((2, 768))
+    with pytest.raises(ValueError, match="shape"):
+        validate_state_dict(broken)
