@@ -402,10 +402,10 @@ def bench_train_step(rng):
         pass
 
     return (s, train_step, state, host_batch, step_ms, put_ms, put_ms_cold,
-            flops, os8_ms, eval_ms)
+            flops, os8_ms, eval_ms, sb)
 
 
-def bench_streaming(rng, s, sb):
+def bench_streaming(rng, s, sb, state):
     """Real-time single-stream serving rate (the north star's "full-rate seg
     forward"): per-window latency of the streaming step — B1, carried
     ConvLSTM state, one on-device voxelize + E2VID window + head + argmax
@@ -424,7 +424,9 @@ def bench_streaming(rng, s, sb):
     from openess_tpu.native import chunk_events_windows_host
     from openess_tpu.ops.voxelize_chunked import voxelize_chunked_trilinear
 
-    params, bstats = sb.mset.params, sb.mset.batch_stats
+    # NOT sb.mset.params: the train step donates its state, so the
+    # build-time param buffers were consumed by the first step call
+    params, bstats = state.params, state.batch_stats
     dt = jnp.bfloat16 if s.compute_dtype == "bfloat16" else jnp.float32
     stream = E2VIDStreamingStep(
         num_bins=s.input_channels_b, normalize=True, dtype=dt,
@@ -480,6 +482,76 @@ def bench_streaming(rng, s, sb):
         float(jnp.sum(pred))
         times.append(time.perf_counter() - t0)
     return min(times) * 1e3, host_pack_ms
+
+
+_HOST_ASM_WORKER = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+import numpy as np
+from openess_tpu.native import (
+    chunk_events_windows_host, voxelize_trilinear_windows_host,
+)
+rng = np.random.default_rng(0)
+n_win, K, H, W, bins, nthr = {n_win}, {K}, {H}, {W}, {bins}, {nthr}
+x = rng.uniform(0, W - 1, (n_win, K)).astype(np.float32)
+y = rng.uniform(0, H - 1, (n_win, K)).astype(np.float32)
+p = rng.integers(0, 2, (n_win, K)).astype(np.float32)
+t = np.sort(rng.uniform(0, 5e4, (n_win, K)), axis=1)
+valid = np.ones((n_win, K), bool)
+counts = np.full(n_win, K, np.int64)
+
+def best_ms(fn):
+    fn()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts) * 1e3
+
+wire_ms = best_ms(lambda: chunk_events_windows_host(
+    x, y, p, t, valid, height=H, width=W, n_threads=nthr,
+    reuse_buffers=True))
+grid_ms = best_ms(lambda: voxelize_trilinear_windows_host(
+    x, y, p, t.astype(np.float32), counts, bins, H, W, crop_bottom=40,
+    norm_mode=0, n_threads=nthr, layout="chw"))
+print("RESULT", wire_ms, grid_ms)
+"""
+
+
+def measure_host_assembly_subprocess(s, B, nthr):
+    """Per-batch host event work, timed in a FRESH worker process.
+
+    In-process measurement through the axon relay under-reports the host by
+    2-3x: the relay client's background threads contend for this bench
+    host's single core (measured: the same 1-thread pack is ~290 ms fresh
+    vs ~900 ms inside the live-backend bench process). The production
+    loader runs assembly in prefetch workers, and a real TPU host has no
+    relay — so the honest local-host number is a clean worker process.
+    Returns (wire_ms, grid_ms, n_events) or None on failure.
+    """
+    import subprocess
+    import sys
+
+    T, bins, K = s.nr_events_data_b, s.nr_temporal_bins_b, 100_000
+    n_win = B * T
+    code = _HOST_ASM_WORKER.format(
+        repo=os.path.dirname(os.path.abspath(__file__)),
+        n_win=n_win, K=K, H=480, W=640, bins=bins, nthr=nthr,
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=600, env=env,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                wire_ms, grid_ms = (float(v) for v in line.split()[1:3])
+                return wire_ms, grid_ms, n_win * K
+    except Exception:
+        pass
+    return None
 
 
 def bench_host_assembly(rng, s, B):
@@ -628,7 +700,7 @@ def main():
 
     try:
         (s, train_step, state, host_batch, step_ms, put_ms, put_cold,
-         flops, os8_ms, eval_ms) = bench_train_step(rng)
+         flops, os8_ms, eval_ms, sb) = bench_train_step(rng)
         import jax
 
         kind = jax.devices()[0].device_kind
@@ -650,7 +722,7 @@ def main():
 
         # full-rate serving: streaming step latency vs the 20 Hz label rate
         try:
-            win_ms, pack1_ms = bench_streaming(rng, s, sb)
+            win_ms, pack1_ms = bench_streaming(rng, s, sb, state)
             extra["streaming_window_ms"] = round(win_ms, 1)
             extra["streaming_windows_per_s"] = round(1e3 / win_ms, 1)
             extra["streaming_host_pack_ms"] = round(pack1_ms, 1)
@@ -664,6 +736,17 @@ def main():
 
         (asm_ms, grid_ms, wire_ms, n_events, nthr, assemble,
          have_native) = bench_host_assembly(rng, s, B)
+        # honest local-host assembly cost: a fresh worker process (see
+        # measure_host_assembly_subprocess — in-process timing through the
+        # live axon relay inflates the host 2-3x via relay-thread CPU
+        # contention); falls back to the in-process number if it fails
+        sub = measure_host_assembly_subprocess(s, B, nthr)
+        if sub is not None:
+            wire_ms, grid_ms, n_events = sub
+            asm_ms = wire_ms if s.wire_format == "raw_events" else grid_ms
+            extra["host_timed_in_subprocess"] = True
+        else:
+            extra["host_timed_in_subprocess"] = False
         extra["host_assembly_ms_b8"] = round(asm_ms, 1)
         extra["host_grid_voxelize_ms_b8"] = round(grid_ms, 1)
         extra["host_chunk_pack_ms_b8"] = round(wire_ms, 1)

@@ -128,4 +128,12 @@ def voxelize_wire(s: Settings, batch, mesh=None) -> jax.Array:
             *args, num_bins=bins, height=h, width=w,
             normalize=s.normalize_event_b, interpret=interp,
         )
+    if s.compute_dtype == "bfloat16":
+        # Emit the grid in the compute dtype: the E2VID scan consumed bf16
+        # windows anyway (flax promoted per window — a 17 ms/step layout
+        # copy at DSEC B8, see docs/ROOFLINE.md), and every grid consumer
+        # between here and the scan (augmentation flip, planar reshape)
+        # now moves half the bytes. Stats-sensitive math downstream
+        # (normalize_event_window) accumulates in f32 explicitly.
+        g = g.astype(jnp.bfloat16)
     return g.reshape((b, t) + g.shape[1:])

@@ -16,8 +16,10 @@ import numpy as np
 
 try:  # real DSEC h5 files are blosc-compressed; plugin optional for tests
     import hdf5plugin  # noqa: F401
+
+    _HDF5PLUGIN = True
 except ImportError:
-    pass
+    _HDF5PLUGIN = False
 import h5py
 
 
@@ -27,7 +29,19 @@ class EventSlicer:
         self.events = {k: h5f[f"events/{k}"] for k in ("p", "x", "y", "t")}
         self.ms_to_idx = np.asarray(h5f["ms_to_idx"], dtype="int64")
         self.t_offset = int(h5f["t_offset"][()]) if "t_offset" in h5f.keys() else 0
-        self.t_final = int(self.events["t"][-1]) + self.t_offset
+        try:
+            # probe read: fails HERE, loudly, if a decompression filter is
+            # missing (real DSEC events.h5 uses blosc, HDF5 filter 32001)
+            # instead of with a bare h5py OSError mid-epoch
+            self.t_final = int(self.events["t"][-1]) + self.t_offset
+        except OSError as e:
+            raise RuntimeError(
+                f"reading {getattr(h5f, 'filename', '<h5>')} failed — real "
+                "DSEC events.h5 files are blosc-compressed (HDF5 filter "
+                "32001) and need the hdf5plugin package; hdf5plugin is "
+                + ("installed" if _HDF5PLUGIN else "NOT installed")
+                + f" in this environment. Original error: {e}"
+            ) from e
 
     def get_start_time_us(self) -> int:
         return self.t_offset

@@ -14,7 +14,11 @@ EV_TOTAL = 40_000
 DUR_US = 2_000_000
 
 
-def write_dsec_sequence(seq_dir, rng, num_classes=11):
+def write_dsec_sequence(seq_dir, rng, num_classes=11, compressed=False):
+    """``compressed=True`` writes events.h5 with chunked+gzip+shuffle
+    datasets — real DSEC files are chunked and blosc-compressed (filter
+    32001 via hdf5plugin); gzip exercises the same h5py chunked/filtered
+    read path with a filter available in every environment."""
     h, w = 480, 640
     lh = 440
     (seq_dir / "events" / "left").mkdir(parents=True)
@@ -28,12 +32,18 @@ def write_dsec_sequence(seq_dir, rng, num_classes=11):
     y = rng.integers(0, h, EV_TOTAL).astype(np.uint16)
     p = rng.integers(0, 2, EV_TOTAL).astype(np.uint8)
     ms_to_idx = np.searchsorted(t, np.arange(DUR_US // 1000 + 1) * 1000)
+    def ckw(arr):
+        if not compressed:
+            return {}
+        return dict(chunks=(min(16384, arr.size),), compression="gzip",
+                    compression_opts=4, shuffle=True)
+
     with h5py.File(seq_dir / "events" / "left" / "events.h5", "w") as f:
-        f.create_dataset("events/x", data=x)
-        f.create_dataset("events/y", data=y)
-        f.create_dataset("events/p", data=p)
-        f.create_dataset("events/t", data=t)
-        f.create_dataset("ms_to_idx", data=ms_to_idx)
+        f.create_dataset("events/x", data=x, **ckw(x))
+        f.create_dataset("events/y", data=y, **ckw(y))
+        f.create_dataset("events/p", data=p, **ckw(p))
+        f.create_dataset("events/t", data=t, **ckw(t))
+        f.create_dataset("ms_to_idx", data=ms_to_idx, **ckw(ms_to_idx))
         f.create_dataset("t_offset", data=np.int64(0))
     rect = np.stack(
         np.meshgrid(np.arange(w), np.arange(h)), axis=-1

@@ -352,13 +352,19 @@ def normalize_event_window(events: Array) -> Array:
     (EventPreprocessor, inference_utils.py:75-86). Operates over the whole
     per-sample tensor."""
     nz = events != 0
-    cnt = jnp.sum(nz, axis=tuple(range(1, events.ndim)), keepdims=True)
-    cnt_safe = jnp.maximum(cnt, 1).astype(events.dtype)
-    total = jnp.sum(jnp.where(nz, events, 0), axis=tuple(range(1, events.ndim)), keepdims=True)
-    mean = total / cnt_safe
-    sq = jnp.sum(jnp.where(nz, events * events, 0), axis=tuple(range(1, events.ndim)), keepdims=True) / cnt_safe
+    ax = tuple(range(1, events.ndim))
+    # stats accumulate in f32 (a bf16 sum over ~1.4M elements saturates);
+    # the converts fuse into the reductions, the normalize itself runs in
+    # events.dtype so the elementwise stream stays bf16 under bf16 inputs
+    ef = events.astype(jnp.float32)
+    cnt = jnp.sum(nz, axis=ax, keepdims=True)
+    cnt_safe = jnp.maximum(cnt, 1).astype(jnp.float32)
+    mean = jnp.sum(jnp.where(nz, ef, 0), axis=ax, keepdims=True) / cnt_safe
+    sq = jnp.sum(jnp.where(nz, ef * ef, 0), axis=ax, keepdims=True) / cnt_safe
     std = jnp.sqrt(jnp.maximum(sq - mean * mean, 0.0))
-    normed = jnp.where(nz, (events - mean) / jnp.maximum(std, 1e-12), 0.0)
+    std_c = jnp.maximum(std, 1e-12).astype(events.dtype)
+    mean = mean.astype(events.dtype)
+    normed = jnp.where(nz, (events - mean) / std_c, 0.0)
     return jnp.where(cnt > 0, normed, events)
 
 

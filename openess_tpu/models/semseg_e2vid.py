@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from openess_tpu.ops.resize import upsample2x_nearest
@@ -20,10 +21,21 @@ Array = Any
 
 
 def _instance_norm(x):
-    """torch InstanceNorm2d(affine=False) over NHWC spatial dims."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mean) / jnp.sqrt(var + 1e-5)
+    """torch InstanceNorm2d(affine=False) over NHWC spatial dims.
+
+    Stats are accumulated in f32 (the converts fuse into the reductions so
+    no f32 copy of ``x`` ever hits HBM), but the normalize itself runs in
+    ``x.dtype``: under bf16 this halves the elementwise HBM stream vs the
+    former upcast-normalize-downcast round trip (ROOFLINE.md: the SemSeg
+    head ran at 14 % of peak because of exactly those f32 round-trips).
+    ``mean``/``inv`` are [B, 1, 1, C] — casting them is free. Exact no-op
+    under f32 (the parity-test dtype).
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    inv = jax.lax.rsqrt(var + 1e-5).astype(x.dtype)
+    return (x - mean.astype(x.dtype)) * inv
 
 
 class ReLUINSConv2d(nn.Module):
@@ -40,7 +52,7 @@ class ReLUINSConv2d(nn.Module):
             self.features, (self.kernel_size, self.kernel_size),
             padding=[(pad, pad)] * 2, use_bias=True, dtype=self.dtype, name="conv",
         )(x)
-        return nn.relu(_instance_norm(y.astype(jnp.float32)).astype(y.dtype))
+        return nn.relu(_instance_norm(y))
 
 
 class INSResBlock(nn.Module):
@@ -54,11 +66,11 @@ class INSResBlock(nn.Module):
         y = nn.Conv(
             self.features, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="conv1"
         )(x)
-        y = nn.relu(_instance_norm(y.astype(jnp.float32)).astype(y.dtype))
+        y = nn.relu(_instance_norm(y))
         y = nn.Conv(
             self.features, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="conv2"
         )(y)
-        y = _instance_norm(y.astype(jnp.float32)).astype(y.dtype)
+        y = _instance_norm(y)
         return y + x
 
 

@@ -30,21 +30,44 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _flatten_with_batch_offset(feats: Array, seg_ids: Array, segments_per_image: int):
+def _flatten_with_batch_offset(
+    feats: Array, seg_ids: Array, segments_per_image: int,
+    pixel_order: str = "bhw",
+):
+    """Flatten to ``([N, D], [N])`` pixel rows + global segment ids.
+
+    ``pixel_order="hwb"`` enumerates pixels H-major/B-minor instead of
+    row-major: segment sums are order-invariant, but on TPU the conv
+    outputs feeding the pool carry an H-major physical layout
+    (``{3,0,2,1}``), so flattening in that order lets XLA lower the
+    transpose to a free bitcast instead of a full-tensor relayout copy
+    (~3.5 ms per 8x440x640x256 bf16 tensor on v5e, docs/ROOFLINE.md).
+    """
     b, h, w, d = feats.shape
-    offsets = (jnp.arange(b, dtype=seg_ids.dtype) * segments_per_image)[:, None, None]
-    ids_flat = (seg_ids + offsets).reshape(-1)
+    if pixel_order == "hwb":
+        feats = jnp.transpose(feats, (1, 2, 0, 3))  # [H, W, B, D]
+        offsets = (jnp.arange(b, dtype=seg_ids.dtype) * segments_per_image)
+        ids = jnp.transpose(seg_ids, (1, 2, 0)) + offsets  # [H, W, B]
+    else:
+        offsets = (
+            jnp.arange(b, dtype=seg_ids.dtype) * segments_per_image
+        )[:, None, None]
+        ids = seg_ids + offsets
+    ids_flat = ids.reshape(-1)
     feats_flat = feats.reshape(-1, d)
     return feats_flat, ids_flat, b * segments_per_image
 
 
-@functools.partial(jax.jit, static_argnames=("segments_per_image",))
+@functools.partial(
+    jax.jit, static_argnames=("segments_per_image", "pixel_order")
+)
 def segment_mean_pool(
-    feats: Array, seg_ids: Array, *, segments_per_image: int, eps: float = 1e-6
+    feats: Array, seg_ids: Array, *, segments_per_image: int,
+    eps: float = 1e-6, pixel_order: str = "bhw",
 ) -> tuple[Array, Array]:
     """segment_sum reference implementation (XLA scatter-add)."""
     feats_flat, ids_flat, num_segments = _flatten_with_batch_offset(
-        feats, seg_ids, segments_per_image
+        feats, seg_ids, segments_per_image, pixel_order
     )
     sums = jax.ops.segment_sum(feats_flat, ids_flat, num_segments=num_segments)
     counts = jax.ops.segment_sum(
@@ -122,7 +145,13 @@ def _pallas_pool_sums_fwd(feats_p, ids_p, s_pad, chunk, precision):
 def _pallas_pool_sums_bwd(s_pad, chunk, precision, res, cotangents):
     ids_p, dtype_token = res
     g_sums, _g_counts = cotangents  # counts are feats-independent
-    g_feats = jnp.take(g_sums, ids_p[:, 0], axis=0).astype(dtype_token.dtype)
+    # Cast the small [s_pad, D] cotangent BEFORE the full-resolution gather:
+    # taking in f32 materialized an f32 [B*H*W, D] tensor (+ its relayout
+    # copies, ~7 ms each on v5e per ROOFLINE.md) that was immediately
+    # rounded to bf16 anyway.
+    g_feats = jnp.take(
+        g_sums.astype(dtype_token.dtype), ids_p[:, 0], axis=0
+    )
     return g_feats, None
 
 
@@ -130,7 +159,9 @@ _pallas_pool_sums.defvjp(_pallas_pool_sums_fwd, _pallas_pool_sums_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("segments_per_image", "chunk", "precision")
+    jax.jit,
+    static_argnames=("segments_per_image", "chunk", "precision",
+                     "pixel_order"),
 )
 def segment_mean_pool_pallas(
     feats: Array,
@@ -140,6 +171,7 @@ def segment_mean_pool_pallas(
     eps: float = 1e-6,
     chunk: int = 1024,
     precision=None,
+    pixel_order: str = "bhw",
 ) -> tuple[Array, Array]:
     """MXU one-hot-matmul pooling. Same contract as :func:`segment_mean_pool`.
 
@@ -152,7 +184,7 @@ def segment_mean_pool_pallas(
     ``jax.lax.Precision.HIGHEST`` for f32-exact sums.
     """
     feats_flat, ids_flat, num_segments = _flatten_with_batch_offset(
-        feats, seg_ids, segments_per_image
+        feats, seg_ids, segments_per_image, pixel_order
     )
     n, d = feats_flat.shape
     # Clamp the chunk so the double-buffered feats block stays well inside

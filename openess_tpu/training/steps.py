@@ -50,8 +50,12 @@ class TrainState(struct.PyTreeNode):
 
 def _pool(feats, seg, segments_per_image, use_pallas):
     if use_pallas:
+        # hwb pixel order: segment means are pixel-order-invariant, and
+        # flattening H-major lets XLA bitcast the conv-layout feature maps
+        # into the kernel instead of relayout-copying them (ROOFLINE.md)
         return segment_mean_pool_pallas(
-            feats, seg, segments_per_image=segments_per_image
+            feats, seg, segments_per_image=segments_per_image,
+            pixel_order="hwb",
         )[0]
     return segment_mean_pool(feats, seg, segments_per_image=segments_per_image)[0]
 

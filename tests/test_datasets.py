@@ -433,3 +433,119 @@ def test_dsec_fixed_duration_windows(dsec_root):
     batch = ds.get_batch([0])
     assert np.isfinite(batch["event"]).all()
     assert np.abs(batch["event"]).sum() > 0
+
+
+def test_dsec_compressed_events_h5(dsec_root, tmp_path):
+    """Real DSEC events.h5 files are chunked + compressed (blosc via
+    hdf5plugin). A gzip+shuffle+chunked fixture exercises the same h5py
+    filtered-read path with a universally available filter: every slicer
+    query must be bit-identical to the uncompressed fixture
+    (DSEC/utils/eventslicer.py:32-98)."""
+    from openess_tpu.data.event_slicer import EventSlicer
+    from openess_tpu.data.fixtures import write_dsec_sequence
+
+    rng = np.random.default_rng(7)  # same seed as dsec_root
+    croot = tmp_path / "dsec_compressed"
+    write_dsec_sequence(
+        croot / "train" / "zurich_city_00_a", rng, compressed=True
+    )
+    rel = "train/zurich_city_00_a/events/left/events.h5"
+    with h5py.File(dsec_root / rel, "r") as fu, h5py.File(
+        croot / rel, "r"
+    ) as fc:
+        assert fc["events/t"].compression == "gzip"  # fixture really is
+        su, sc = EventSlicer(fu), EventSlicer(fc)
+        assert su.get_final_time_us() == sc.get_final_time_us()
+        for lo, hi in ((0, 1), (500_000, 700_000), (1_999_000, 2_000_000)):
+            eu, ec = su.get_events(lo, hi), sc.get_events(lo, hi)
+            for k in ("p", "x", "y", "t"):
+                np.testing.assert_array_equal(eu[k], ec[k])
+        for t_end in (1_000, 700_000, 1_999_999):
+            eu = su.get_events_fixed_num(t_end, 1000)
+            ec = sc.get_events_fixed_num(t_end, 1000)
+            for k in ("p", "x", "y", "t"):
+                np.testing.assert_array_equal(eu[k], ec[k])
+
+
+def test_dsec_missing_filter_fails_loudly(tmp_path, monkeypatch):
+    """A dataset whose reads raise (e.g. blosc data without hdf5plugin)
+    must fail at EventSlicer construction with an error that names
+    hdf5plugin — not with a bare h5py OSError mid-epoch."""
+    import openess_tpu.data.event_slicer as es
+
+    path = tmp_path / "events.h5"
+    with h5py.File(path, "w") as f:
+        f.create_dataset("events/x", data=np.zeros(4, np.uint16))
+        f.create_dataset("events/y", data=np.zeros(4, np.uint16))
+        f.create_dataset("events/p", data=np.zeros(4, np.uint8))
+        f.create_dataset("events/t", data=np.arange(4, dtype=np.int64))
+        f.create_dataset("ms_to_idx", data=np.zeros(2, np.int64))
+
+    class _Raising:
+        def __init__(self, d):
+            self._d = d
+
+        def __getitem__(self, k):
+            raise OSError("Can't read data (required filter 32001 missing)")
+
+    with h5py.File(path, "r") as f:
+        wrapped = {
+            "events/t": _Raising(f["events/t"]),
+            "events/x": f["events/x"],
+            "events/y": f["events/y"],
+            "events/p": f["events/p"],
+            "ms_to_idx": f["ms_to_idx"],
+        }
+
+        class _F:
+            filename = str(path)
+
+            def __getitem__(self, k):
+                return wrapped[k]
+
+            def keys(self):
+                return wrapped.keys()
+
+        with pytest.raises(RuntimeError, match="hdf5plugin"):
+            es.EventSlicer(_F())
+
+
+def test_dsec_fixed_num_boundary_goldens(dsec_root):
+    """``get_events_fixed_num`` lookback semantics at file start/end against
+    a pure-numpy golden on the full arrays (eventslicer.py:68-98):
+    - near file start the lookback clamps to index 0 (shorter window, never
+      wraps or raises);
+    - t_end past the ms_to_idx table returns None;
+    - exact-millisecond t_end (empty conservative slice) still lands on the
+      first index with t >= t_end."""
+    from openess_tpu.data.event_slicer import EventSlicer
+    from openess_tpu.data.fixtures import DUR_US
+
+    with h5py.File(
+        dsec_root / "train" / "zurich_city_00_a" / "events" / "left"
+        / "events.h5",
+        "r",
+    ) as f:
+        sl = EventSlicer(f)
+        all_t = np.asarray(f["events/t"])
+
+        def golden(t_end, n):
+            end = int(np.searchsorted(all_t, t_end, side="left"))
+            return max(end - n, 0), end
+
+        # sweep: file start, exact-ms boundaries, interior, last valid ms
+        for t_end in (1, 999, 1_000, 1_001, 50_000, 1_000_000,
+                      DUR_US - 1, DUR_US):
+            for n in (10, 1_000, 10**9):
+                ev = sl.get_events_fixed_num(t_end, n)
+                lo, hi = golden(t_end, n)
+                assert ev is not None, (t_end, n)
+                assert ev["t"].size == hi - lo, (t_end, n)
+                np.testing.assert_array_equal(ev["t"], all_t[lo:hi])
+                assert ev["t"].size == ev["x"].size == ev["y"].size
+
+        # lookback clamp at file start: fewer than n events, starting at 0
+        ev = sl.get_events_fixed_num(1_000, 10**9)
+        assert ev["t"].size == int(np.searchsorted(all_t, 1_000))
+        # past the ms_to_idx table: loud None, matching the reference
+        assert sl.get_events_fixed_num(DUR_US + 1_000, 10) is None

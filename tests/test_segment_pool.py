@@ -1,5 +1,6 @@
 """Segment pooling: jnp vs Pallas (interpret mode on CPU) vs numpy oracle."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from openess_tpu.ops.segment_pool import segment_mean_pool, segment_mean_pool_pallas
@@ -88,3 +89,39 @@ def test_pallas_pool_gradients_match_jnp(rng):
     g1 = jax.grad(loss_jnp)(jnp.asarray(feats))
     g2 = jax.grad(loss_pallas)(jnp.asarray(feats))
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_pixel_order_hwb_matches_bhw():
+    """hwb pixel enumeration (the conv-layout bitcast path used by the
+    train steps) must produce the same means/counts and the same feature
+    gradients as the row-major default — segment sums are pixel-order
+    invariant."""
+    rng = np.random.default_rng(11)
+    B, H, W, D, S = 2, 12, 17, 8, 30
+    feats = rng.normal(size=(B, H, W, D)).astype(np.float32)
+    seg = rng.integers(0, S, size=(B, H, W)).astype(np.int32)
+
+    for fn in (segment_mean_pool, segment_mean_pool_pallas):
+        kw = (
+            {"precision": jax.lax.Precision.HIGHEST}
+            if fn is segment_mean_pool_pallas
+            else {}
+        )
+        m0, c0 = fn(jnp.asarray(feats), seg, segments_per_image=S, **kw)
+        m1, c1 = fn(
+            jnp.asarray(feats), seg, segments_per_image=S,
+            pixel_order="hwb", **kw
+        )
+        np.testing.assert_allclose(np.asarray(m0), np.asarray(m1), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+    def loss(f, order):
+        k, _ = segment_mean_pool_pallas(
+            f, seg, segments_per_image=S, pixel_order=order,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.sum(k * k)
+
+    g0 = jax.grad(lambda f: loss(f, "bhw"))(jnp.asarray(feats))
+    g1 = jax.grad(lambda f: loss(f, "hwb"))(jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-5)
