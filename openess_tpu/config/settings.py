@@ -50,6 +50,14 @@ class Settings:
     # narrow-channel conv activations, so the rewrite only adds transpose
     # work (docs/ROOFLINE.md). Off by default; auto-disabled for odd dims.
     e2vid_s2d: bool = False
+    # EXPERIMENTAL: fused Pallas ConvLSTM gate-pointwise kernel
+    # (ops/lstm_gates.py). Standalone it beats the jnp gate tail ~3x, but
+    # the end-to-end scan is UNCHANGED (295.1 jnp vs 293.9 ms fused, v5e B8
+    # flagship) — XLA already fuses the pointwise tail into the scan body.
+    # Kept off as an exactness-tested negative result (docs/ROOFLINE.md).
+    # Incompatible with mesh_model > 1 (GSPMD cannot partition the opaque
+    # Pallas call; build.py falls back to the jnp path there).
+    e2vid_fused_gates: bool = False
     # --- model ---
     model_name: str = "open_ess"
     skip_connect_encoder: bool = True

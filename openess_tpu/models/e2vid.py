@@ -224,6 +224,14 @@ class ConvLSTMCell(nn.Module):
     hidden: int
     kernel_size: int = 3
     dtype: Any = jnp.float32
+    # Opt-in Pallas gate-pointwise kernel (ops/lstm_gates.py). Default OFF:
+    # standalone the kernel beats the jnp tail ~3x, but inside the window
+    # scan the end-to-end step is UNCHANGED (measured 295.1 jnp vs 293.9 ms
+    # fused on v5e, B8 20-window flagship scan) — XLA already fuses the
+    # pointwise tail into the scan body, so the microbench win does not
+    # compose. Kept as an exactness-tested negative result (docs/ROOFLINE.md)
+    # like e2vid_s2d. True forces the kernel (interpret mode off-TPU).
+    fused_gates: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, state):
@@ -242,6 +250,14 @@ class ConvLSTMCell(nn.Module):
             dtype=self.dtype,
             name="gates",
         )(jnp.concatenate([x, prev_hidden.astype(x.dtype)], axis=-1))
+        if self.fused_gates:
+            from openess_tpu.ops.lstm_gates import fused_lstm_gates
+
+            hidden, cell = fused_lstm_gates(
+                gates, prev_cell.astype(gates.dtype),
+                jax.default_backend() != "tpu",
+            )
+            return hidden, (hidden, cell)
         i, f, o, g = jnp.split(gates, 4, axis=-1)
         i = nn.sigmoid(i)
         f = nn.sigmoid(f)
@@ -295,6 +311,7 @@ class UNetRecurrent(nn.Module):
     # lane-pad. latent["1"] is then returned in s2d form [B,H/2,W/2,4*base]
     # — E2VIDReconstructor restores it after the scan.
     s2d: bool = False
+    fused_gates: Optional[bool] = None  # see ConvLSTMCell.fused_gates
 
     @nn.compact
     def __call__(self, x, prev_states: Optional[Sequence] = None):
@@ -317,9 +334,10 @@ class UNetRecurrent(nn.Module):
                 name=f"encoders_{i}/conv",
                 s2d_mode="in" if (self.s2d and i == 0) else "none",
             )(x)
-            x, st = ConvLSTMCell(out_ch, 3, dtype=self.dtype, name=f"encoders_{i}/lstm")(
-                x, prev_states[i]
-            )
+            x, st = ConvLSTMCell(
+                out_ch, 3, dtype=self.dtype,
+                fused_gates=self.fused_gates, name=f"encoders_{i}/lstm",
+            )(x, prev_states[i])
             blocks.append(x)
             states.append(st)
 
@@ -384,6 +402,7 @@ class _RecurrentStep(nn.Module):
     planar: bool = False
     decode: bool = True
     s2d: bool = False
+    fused_gates: Optional[bool] = None  # see ConvLSTMCell.fused_gates
 
     @nn.compact
     def __call__(self, carry, win):
@@ -415,7 +434,8 @@ class _RecurrentStep(nn.Module):
         states, _ = carry
         img, states, latent = UNetRecurrent(
             num_input_channels=self.num_bins, dtype=self.dtype,
-            decode=self.decode, s2d=self.s2d, name="unet",
+            decode=self.decode, s2d=self.s2d,
+            fused_gates=self.fused_gates, name="unet",
         )(win, states)
         return (tuple(states), latent), img
 
@@ -462,6 +482,7 @@ class E2VIDReconstructor(nn.Module):
     # lane-padding saving does not materialize while the per-window s2d
     # transposes and the +44 % head/enc0 MACs are real (docs/ROOFLINE.md).
     s2d: bool = False
+    fused_gates: Optional[bool] = None  # see ConvLSTMCell.fused_gates
 
     @nn.compact
     def __call__(self, windows: Array):
@@ -499,7 +520,7 @@ class E2VIDReconstructor(nn.Module):
         )(
             self.num_bins, self.normalize, self.dtype,
             planar=self.planar_input, decode=not self.latent_only,
-            s2d=s2d, name="step",
+            s2d=s2d, fused_gates=self.fused_gates, name="step",
         )
         (_, final_latent), imgs = scanned((tuple(states0), latent0), xs)
         if s2d:
@@ -549,6 +570,7 @@ class E2VIDStreamingStep(nn.Module):
     dtype: Any = jnp.float32
     latent_only: bool = False
     base_num_channels: int = 32
+    fused_gates: Optional[bool] = None  # see ConvLSTMCell.fused_gates
 
     @nn.compact
     def __call__(self, states, window):
@@ -563,6 +585,7 @@ class E2VIDStreamingStep(nn.Module):
             latent0[str(2 ** (i + 1))] = jnp.zeros_like(c)
         (new_states, latent), img = _RecurrentStep(
             self.num_bins, self.normalize, self.dtype,
-            planar=False, decode=not self.latent_only, name="step",
+            planar=False, decode=not self.latent_only,
+            fused_gates=self.fused_gates, name="step",
         )((tuple(states), latent0), win)
         return new_states, latent, img

@@ -123,6 +123,11 @@ def build_models(s: Settings, seed: int = 0) -> ModelSet:
         # UNet decode path — ~45 % of per-window FLOPs — in all T windows
         latent_only=True,
         s2d=s.e2vid_s2d,
+        # model parallelism shards the scan activations under GSPMD
+        # (channel-TP: gate-conv out channels; spatial: image height),
+        # which cannot partition an opaque Pallas call — fall back to the
+        # jnp gate path there (XLA partitions its elementwise ops fine)
+        fused_gates=s.e2vid_fused_gates and s.mesh_model <= 1,
     )
     head = lambda lp=False: SemSegE2VID(
         input_c=256, num_classes=s.semseg_num_classes, linear_probe=lp, dtype=dt

@@ -80,6 +80,86 @@ def probe_miou(sb, state, val_ds):
     return miou
 
 
+def _pretrain(train_ds, nce, pl, seed, n_pre):
+    s_pre = make_settings(
+        if_pretraining=True, config_option="frame2voxel",
+        if_spatial_contrastive=nce, if_dense_clip_supervision=pl,
+    )
+    _, sb_pre, _, state_pre = make_state(s_pre, seed=seed)
+    state_pre, _ = train_steps(sb_pre, state_pre, train_ds, n_pre,
+                               rng_seed=seed)
+    return state_pre
+
+
+def _probe(train_ds, val_ds, from_state, seed, tag, tmp, n_probe):
+    s_probe = make_settings(
+        if_linear_probing=True, config_option="frame2voxel", lr_voxel=2e-2,
+    )
+    _, sb_p, tx_p, state_p = make_state(s_probe, seed=seed + 100)
+    if from_state is not None:
+        d = str(tmp / f"{tag}_{seed}")
+        ckpt.save_model_only(d, jax.device_get(from_state.params),
+                             jax.device_get(from_state.batch_stats), epoch=0)
+        params, bstats = ckpt.load_pretrained_params(
+            f"{d}/epoch_0", state_p.params, state_p.batch_stats,
+            exclude_substrings=("linear_probe",),
+        )
+        state_p = state_p.replace(params=params, batch_stats=bstats,
+                                  opt_state=tx_p.init(params))
+    state_p, _ = train_steps(sb_p, state_p, train_ds, n_probe,
+                             rng_seed=seed + 100)
+    return probe_miou(sb_p, state_p, val_ds)
+
+
+@pytest.mark.slow
+def test_pretrain_loss_ablation_ladder(tmp_path):
+    """Three-way linear-probe ladder over 3 seeds, mirroring the reference's
+    F2E + T2E ablation story (README.md:277): each pretraining loss family
+    must contribute to downstream feature quality.
+
+    - Per seed: NCE-only pretraining (F2E superpixel contrastive against the
+      frame teacher — whose trainable decoder conv shapes the target space)
+      lifts the held-out linear-probe mIoU over random init, and NCE+PL is
+      never below random init.
+    - On the 3-seed mean: random < NCE-only < NCE+PL with margins.
+
+    Per-seed NCE+PL-vs-NCE-only ordering is NOT asserted: at this synthetic
+    scale the PL arm's relative gain varies with init (seed 1 measured
+    both ~= nce), while the mean ordering is stable. Zero-shot cannot
+    discriminate the arms here because this env has no real CLIP text
+    embeddings (random fallback), so class-identified text-head predictions
+    are meaningless — the probe is the only sound readout. Measured
+    (deterministic: fixed seeds, CPU backend pinned by conftest):
+    rand 3.96/4.83/5.32, nce 6.51/7.07/6.02, both 8.58/7.04/7.43 per seed
+    -> means 4.70 / 6.53 / 7.68; thresholds sit inside those margins
+    (per-seed nce-rand >= 0.70, mean nce-rand 1.83, both-nce 1.15,
+    both-rand 2.98).
+    """
+    train_ds = SyntheticESS(num_samples=16, height=H, width=W, num_classes=C,
+                            num_windows=T, superpixel_size=20, seed=3)
+    val_ds = SyntheticESS(num_samples=8, height=H, width=W, num_classes=C,
+                          num_windows=T, superpixel_size=20, seed=4)
+
+    rows = []
+    for seed in (0, 1, 2):
+        st_nce = _pretrain(train_ds, True, False, seed, 72)
+        st_both = _pretrain(train_ds, True, True, seed, 72)
+        m_rand = _probe(train_ds, val_ds, None, seed, "r", tmp_path, 32)
+        m_nce = _probe(train_ds, val_ds, st_nce, seed, "n", tmp_path, 32)
+        m_both = _probe(train_ds, val_ds, st_both, seed, "b", tmp_path, 32)
+        print(f"seed={seed}: probe rand={m_rand:.2f} nce={m_nce:.2f} "
+              f"nce+pl={m_both:.2f}")
+        assert m_nce > m_rand + 0.3, ("F2E/NCE per-seed", seed, m_nce, m_rand)
+        assert m_both > m_rand, ("NCE+PL >= random", seed, m_both, m_rand)
+        rows.append((m_rand, m_nce, m_both))
+
+    mean = np.array(rows).mean(axis=0)
+    print(f"means: rand={mean[0]:.2f} nce={mean[1]:.2f} nce+pl={mean[2]:.2f}")
+    assert mean[0] + 1.25 < mean[1], ("mean rand<nce", mean)
+    assert mean[1] + 0.1 < mean[2], ("mean nce<nce+pl", mean)
+    assert mean[0] + 2.0 < mean[2], ("mean rand<nce+pl", mean)
+
+
 @pytest.mark.slow
 def test_annotation_free_pretrain_beats_random(tmp_path):
     """T2E distillation (dense pseudo-label supervision, never GT) must lift
