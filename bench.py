@@ -48,25 +48,32 @@ PEAK_BF16 = (
 # Snapshot of the most recent real-chip run of this script (see the
 # cpu_fallback path below). Update whenever a full on-chip bench completes.
 LAST_MEASURED_ON_CHIP = {
-    "measured_on": "TPU v5 lite via axon relay, 2026-08-18",
+    "measured_on": "TPU v5 lite via axon relay, 2026-08-19 (idle host)",
     "metric": "voxelize_throughput",
-    "value": 283072832.0,
+    "value": 418200985.0,
     "unit": "events/s",
-    "vs_baseline": 214.03,
-    "tpu_pallas_chunked_events_per_s": 283072832.0,
-    "pretrain_step_ms_b8": 637.1,
-    "device_samples_per_s": 12.56,
-    "pretrain_step_ms_b8_teacher_os8": 588.2,
-    "eval_fwd_ms_b8": 403.0,
-    "eval_samples_per_s": 19.85,
-    "train_flops_per_step": 34570784735232.0,
-    "mfu_pct": 27.5,
-    "host_assembly_ms_b8": 211.3,
-    "host_chunk_pack_ms_b8": 211.3,
+    "vs_baseline": 542.94,
+    "tpu_pallas_chunked_events_per_s": 418200985.0,
+    "pretrain_step_ms_b8": 515.6,
+    "device_samples_per_s": 15.52,
+    "pretrain_step_ms_b8_teacher_os8": 473.5,
+    "eval_fwd_ms_b8": 327.1,
+    "eval_samples_per_s": 24.46,
+    "train_flops_per_step": 34737272389632.0,
+    "mfu_pct": 34.2,
+    "streaming_window_ms": 32.2,
+    "streaming_windows_per_s": 31.1,
+    "streaming_realtime_margin_x": 1.55,
+    # two-phase C++ packer, ONE host thread, fresh-process timing (the
+    # in-process number through the axon relay is 2-3x worse from relay
+    # thread contention on this 1-core bench host)
+    "host_assembly_ms_b8": 277.5,
+    "host_chunk_pack_ms_b8": 277.5,
+    "host_threads": 1,
     "host_feeds_chip": True,
     "wire_format": "raw_events",
-    "pipeline_step_ms_b8_modeled_local_host": 637.1,
-    "pipeline_samples_per_s_modeled": 12.56,
+    "pipeline_step_ms_b8_modeled_local_host": 515.6,
+    "pipeline_samples_per_s_modeled": 15.52,
 }
 
 
