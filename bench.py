@@ -412,14 +412,17 @@ def bench_train_step(rng):
             flops, os8_ms, eval_ms, sb)
 
 
-def bench_streaming(rng, s, sb, state):
-    """Real-time single-stream serving rate (the north star's "full-rate seg
-    forward"): per-window latency of the streaming step — B1, carried
-    ConvLSTM state, one on-device voxelize + E2VID window + head + argmax
-    per call — against the DSEC ~20 Hz label rate (50 ms/window budget).
-    Returns (window_ms, host_pack_ms): device step latency (scalar-fetch
-    timed, so it includes this env's ~29 ms relay fetch floor — an upper
-    bound) and the host cost of packing one window's events onto the wire.
+def bench_streaming(rng, s, sb, state, streams=(1,)):
+    """Real-time streaming serving rate (the north star's "full-rate seg
+    forward"): per-window latency of the streaming step — carried ConvLSTM
+    state, one on-device voxelize + E2VID window + head + argmax per call —
+    against the DSEC ~20 Hz label rate (50 ms/window budget). ``streams``
+    batches S concurrent camera streams into one step call (states [S, ...],
+    S windows per call): a chip serves S real-time streams iff the S-batch
+    latency stays under 50 ms. Returns ({S: window_ms}, host_pack_ms):
+    device step latency per S (scalar-fetch timed, so it includes this
+    env's ~29 ms relay fetch floor — an upper bound) and the host cost of
+    packing ONE window's events onto the wire (per stream, per window).
     """
     import jax
     import jax.numpy as jnp
@@ -458,37 +461,42 @@ def bench_streaming(rng, s, sb, state):
         return states, jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     K = 100_000
-    x = rng.uniform(0, 639, (1, K)).astype(np.float32)
-    y = rng.uniform(0, 479, (1, K)).astype(np.float32)
-    p = rng.integers(0, 2, (1, K)).astype(np.float32)
-    t = np.sort(rng.uniform(0, 5e4, (1, K)), axis=1)
-    v = np.ones((1, K), bool)
+    host_pack_ms = None
+    window_ms = {}
+    for S in streams:
+        x = rng.uniform(0, 639, (S, K)).astype(np.float32)
+        y = rng.uniform(0, 479, (S, K)).astype(np.float32)
+        p = rng.integers(0, 2, (S, K)).astype(np.float32)
+        t = np.sort(rng.uniform(0, 5e4, (S, K)), axis=1)
+        v = np.ones((S, K), bool)
 
-    def pack():
-        return chunk_events_windows_host(
-            x, y, p, t, v, height=480, width=640, n_threads=1,
-            reuse_buffers=True,
-        )
+        def pack():
+            return chunk_events_windows_host(
+                x, y, p, t, v, height=480, width=640, n_threads=1,
+                reuse_buffers=True,
+            )
 
-    wire = pack()
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
         wire = pack()
-        times.append(time.perf_counter() - t0)
-    host_pack_ms = min(times) * 1e3
+        if host_pack_ms is None:  # per stream-window; S=1 is the honest unit
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                wire = pack()
+                times.append(time.perf_counter() - t0)
+            host_pack_ms = min(times) / S * 1e3
 
-    dev = tuple(jax.device_put(a) for a in wire)
-    states = initial_stream_state(1, h, w, dtype=dt)
-    states, pred = step(states, dev)  # compile
-    float(jnp.sum(pred))
-    times = []
-    for _ in range(6):
-        t0 = time.perf_counter()
-        states, pred = step(states, dev)
+        dev = tuple(jax.device_put(a) for a in wire)
+        states = initial_stream_state(S, h, w, dtype=dt)
+        states, pred = step(states, dev)  # compile
         float(jnp.sum(pred))
-        times.append(time.perf_counter() - t0)
-    return min(times) * 1e3, host_pack_ms
+        times = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            states, pred = step(states, dev)
+            float(jnp.sum(pred))
+            times.append(time.perf_counter() - t0)
+        window_ms[S] = min(times) * 1e3
+    return window_ms, host_pack_ms
 
 
 _HOST_ASM_WORKER = r"""
@@ -729,15 +737,30 @@ def main():
 
         # full-rate serving: streaming step latency vs the 20 Hz label rate
         try:
-            win_ms, pack1_ms = bench_streaming(rng, s, sb, state)
-            extra["streaming_window_ms"] = round(win_ms, 1)
-            extra["streaming_windows_per_s"] = round(1e3 / win_ms, 1)
+            # latencies ride this env's ~29 ms relay fetch floor, so the
+            # streams-at-20Hz count is a LOWER bound (at S=8 the compute is
+            # ~32 ms — a real TPU host with no relay serves 8+)
+            win_ms, pack1_ms = bench_streaming(
+                rng, s, sb, state, streams=(1, 4, 8)
+            )
+            extra["streaming_window_ms"] = round(win_ms[1], 1)
+            extra["streaming_windows_per_s"] = round(1e3 / win_ms[1], 1)
             extra["streaming_host_pack_ms"] = round(pack1_ms, 1)
             # DSEC-Semantic labels arrive at ~20 Hz/camera: margin >= 1 means
             # one chip serves a stream in real time (window_ms <= 50)
             extra["streaming_realtime_margin_x"] = round(
-                (1e3 / win_ms) / 20.0, 2
+                (1e3 / win_ms[1]) / 20.0, 2
             )
+            # concurrent real-time streams per chip: S streams batched into
+            # one carried-state step; S is served iff latency fits the 50 ms
+            # budget (minus the per-stream host pack on this 1-core host)
+            served = [
+                S for S, ms in win_ms.items() if ms + S * pack1_ms <= 50.0
+            ]
+            for S, ms in win_ms.items():
+                if S > 1:
+                    extra[f"streaming_window_ms_s{S}"] = round(ms, 1)
+            extra["streaming_streams_at_20hz"] = max(served, default=0)
         except Exception as e:
             extra["streaming_bench_error"] = f"{type(e).__name__}: {e}"
 

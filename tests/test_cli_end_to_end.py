@@ -600,3 +600,55 @@ def test_export_model_streaming_cli(dsec_tree, tmp_path):
         np.asarray(logits_batch, np.float32),
         np.asarray(logits_stream, np.float32), atol=1e-4,
     )
+
+
+def test_serve_stream_cli(tmp_path):
+    """tools/serve_stream.py: the runnable real-time serving demo — synthetic
+    event windows through pack -> on-device voxelize (voxelize_wire) ->
+    streaming step -> rate report + colorized prediction PNGs; then the same
+    loop through an exported --streaming artifact."""
+    import os
+
+    cfg = yaml.safe_load(open("configs/synthetic_sup_only.yaml"))
+    cfg["clip"]["config_option"] = "frame2voxel"
+    cfg["optim"]["batch_size_b"] = 1
+    cfg_path = tmp_path / "cfg_serve.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    out_dir = tmp_path / "preds"
+    proc = subprocess.run(
+        [sys.executable, "tools/serve_stream.py", "--settings_file",
+         str(cfg_path), "--synthetic", "3", "--window_events", "2000",
+         "--out_dir", str(out_dir)],
+        capture_output=True, text=True, timeout=900, cwd="/root/repo",
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "per-stream rate" in proc.stdout and "windows/s" in proc.stdout
+    pngs = sorted(out_dir.glob("pred_*.png"))
+    assert len(pngs) == 3
+    from PIL import Image
+
+    assert np.asarray(Image.open(pngs[0])).shape == (64, 96, 3)
+
+    # artifact-served variant: export then serve the .jexp
+    art = tmp_path / "serve.jexp"
+    proc = subprocess.run(
+        [sys.executable, "tools/export_model.py", "--settings_file",
+         str(cfg_path), "--output", str(art), "--streaming"],
+        capture_output=True, text=True, timeout=900, cwd="/root/repo",
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    proc = subprocess.run(
+        [sys.executable, "tools/serve_stream.py", "--settings_file",
+         str(cfg_path), "--artifact", str(art), "--synthetic", "3",
+         "--window_events", "2000"],
+        capture_output=True, text=True, timeout=900, cwd="/root/repo",
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "per-stream rate" in proc.stdout
