@@ -35,6 +35,15 @@ class Settings:
     # R50; 8/16 = faster coarse trunks (features are upsampled + superpixel
     # mean-pooled either way)
     teacher_os: int = 4
+    # fold the frozen teacher trunk's inference-mode BNs into the conv
+    # weights (mathematically exact, identical param tree — resnet._conv_bn)
+    # so activations stay bf16 between convs instead of round-tripping
+    # through the f32 BN epilogues
+    teacher_fold_bn: bool = True
+    # same fold for the DeepLab student's backbone — applies ONLY when the
+    # module runs with train=False (eval/serving); training always uses the
+    # standard batch-stat BN path (resnet._conv_bn)
+    student_fold_bn: bool = True
     # event wire format for the voxel paths:
     #   'raw_events' (production default): host ships compact sorted-chunk
     #     event streams (9 B/event) and the jitted step voxelizes on-device
@@ -214,6 +223,9 @@ def load_settings(settings_yaml: str, generate_log: bool = False) -> Settings:
     s.wire_format = _get(y, "tpu", "wire_format", default="raw_events")
     s.host_voxelize = bool(_get(y, "tpu", "host_voxelize", default=True))
     s.e2vid_s2d = bool(_get(y, "tpu", "e2vid_s2d", default=False))
+    s.e2vid_fused_gates = bool(_get(y, "tpu", "e2vid_fused_gates", default=False))
+    s.teacher_fold_bn = bool(_get(y, "tpu", "teacher_fold_bn", default=True))
+    s.student_fold_bn = bool(_get(y, "tpu", "student_fold_bn", default=True))
     # model
     for k in (
         "model_name", "skip_connect_encoder", "skip_connect_task",

@@ -113,6 +113,11 @@ class DeepLabV3TextSeg(nn.Module):
     num_classes: int
     output_stride: int = 16
     linear_probe: bool = False
+    # fold the backbone's BNs into conv weights when applied with
+    # train=False (inference/eval only — resnet._conv_bn runs the standard
+    # batch-stat path in train mode, so training is unaffected); exact,
+    # identical variable tree
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -123,7 +128,8 @@ class DeepLabV3TextSeg(nn.Module):
             rswd, dilate = (False, False, True), (6, 12, 18)
         h, w = x.shape[1], x.shape[2]
         feat = ResNet50(
-            replace_stride_with_dilation=rswd, dtype=self.dtype, name="backbone"
+            replace_stride_with_dilation=rswd, fold_bn=self.fold_bn,
+            dtype=self.dtype, name="backbone",
         )(x, train=train)
         logits, feats = DeepLabHead(
             self.num_classes, dilate, dtype=self.dtype, name="classifier"

@@ -41,6 +41,10 @@ class DilationFeatureExtractor(nn.Module):
     preprocess: bool = True
     output_stride: int = 4
     frozen_encoder: bool = True
+    # Fold the frozen trunk's inference-mode BNs into the conv weights
+    # (exact; identical variable tree — see resnet._conv_bn). Removes the
+    # f32 BN round-trips between every conv pair of the dilated R50.
+    fold_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -55,6 +59,7 @@ class DilationFeatureExtractor(nn.Module):
         }[self.output_stride]
         feat = ResNet50(
             replace_stride_with_dilation=dilation,
+            fold_bn=self.fold_bn,
             dtype=self.dtype,
             name="encoder",
         )(x, train=False)  # frozen teacher: always inference-mode BN

@@ -108,10 +108,11 @@ def build_models(s: Settings, seed: int = 0) -> ModelSet:
         num_classes=s.semseg_num_classes,
         output_stride=s.output_stride,
         linear_probe=lp,
+        fold_bn=s.student_fold_bn,  # inference-only (no-op in train mode)
         dtype=dt,
     )
     teacher = lambda: DilationFeatureExtractor(
-        dtype=dt, output_stride=s.teacher_os
+        dtype=dt, output_stride=s.teacher_os, fold_bn=s.teacher_fold_bn
     )
     e2vid = lambda: E2VIDReconstructor(
         # input_channels_b covers voxel_grid (bins, x2 if separate_pol),

@@ -268,3 +268,86 @@ def test_streaming_step_matches_scan(rng):
         np.testing.assert_allclose(
             np.asarray(final_latent[k]), np.asarray(latent[k]), atol=1e-5
         )
+
+
+def test_teacher_fold_bn_matches_standard(rng):
+    """fold_bn is exact: same params/batch_stats (incl. non-trivial running
+    stats), same features up to f32 round-off, identical variable tree
+    (checkpoint compatibility)."""
+    B, H, W = 1, 32, 32
+    x = jnp.asarray(rng.uniform(size=(B, H, W, 3)), jnp.float32)
+    std = DilationFeatureExtractor(output_stride=8)
+    variables = std.init(jax.random.key(0), x)
+
+    # trivial init stats (mean=0, var=1) would hide mean/var fold bugs —
+    # randomize them like a converted torchvision checkpoint's
+    def perturb(path, leaf):
+        keys = "/".join(str(getattr(p, "key", "")) for p in path)
+        r = np.random.default_rng(abs(hash(keys)) % 2**32)
+        if keys.endswith("mean"):
+            return jnp.asarray(r.normal(0, 0.5, leaf.shape), leaf.dtype)
+        if keys.endswith("var"):
+            return jnp.asarray(r.uniform(0.2, 2.0, leaf.shape), leaf.dtype)
+        if keys.endswith("scale") or keys.endswith("bias"):
+            return jnp.asarray(r.normal(1.0, 0.3, leaf.shape), leaf.dtype)
+        return leaf
+
+    variables = jax.tree_util.tree_map_with_path(perturb, dict(variables))
+    ref = std.apply(variables, x)
+
+    folded = DilationFeatureExtractor(output_stride=8, fold_bn=True)
+    out = folded.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    v2 = folded.init(jax.random.key(0), x)
+    assert jax.tree_util.tree_structure(dict(v2)) == jax.tree_util.tree_structure(
+        variables
+    )
+    shapes = lambda t: jax.tree_util.tree_map(lambda l: l.shape, t)
+    assert shapes(dict(v2)) == shapes(variables)
+
+
+def test_deeplab_fold_bn_matches_standard_eval(rng):
+    """Backbone BN folding at eval is exact and checkpoint-compatible; in
+    train mode the fold_bn model runs the standard batch-stat path."""
+    from openess_tpu.models import DeepLabV3TextSeg
+
+    B, H, W, C = 1, 32, 32, 6
+    x = jnp.asarray(rng.uniform(size=(B, H, W, 3)), jnp.float32)
+    text = jnp.asarray(rng.normal(size=(C, 512)), jnp.float32)
+    std = DeepLabV3TextSeg(num_classes=C)
+    variables = std.init(jax.random.key(0), x, text)
+
+    def perturb(path, leaf):
+        keys = "/".join(str(getattr(p, "key", "")) for p in path)
+        r = np.random.default_rng(abs(hash(keys)) % 2**32)
+        if keys.endswith("mean"):
+            return jnp.asarray(r.normal(0, 0.5, leaf.shape), leaf.dtype)
+        if keys.endswith("var"):
+            return jnp.asarray(r.uniform(0.2, 2.0, leaf.shape), leaf.dtype)
+        return leaf
+
+    variables = jax.tree_util.tree_map_with_path(perturb, dict(variables))
+    logits_ref, feats_ref = std.apply(variables, x, text)
+
+    folded = DeepLabV3TextSeg(num_classes=C, fold_bn=True)
+    logits, feats = folded.apply(variables, x, text)
+    # f32 round-off only: logits reach ~1e2 magnitude, so pair a loose
+    # atol with a tight rtol
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(logits_ref), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats), np.asarray(feats_ref), rtol=1e-5, atol=1e-4
+    )
+    v2 = folded.init(jax.random.key(0), x, text)
+    assert jax.tree_util.tree_structure(dict(v2)) == jax.tree_util.tree_structure(
+        variables
+    )
+
+    # train mode: standard batch-stat path, batch_stats still mutable
+    (lt, _), mut = folded.apply(
+        variables, x, text, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.key(1)},
+    )
+    assert "batch_stats" in mut and np.isfinite(np.asarray(lt)).all()
