@@ -435,8 +435,19 @@ def chunk_events_windows_host(
         xq.reshape(-1), yq.reshape(-1), pq.reshape(-1), tr.reshape(-1),
         n_threads,
     )
-    counts = np.ascontiguousarray(counts_full[:, :nbc])
-    r0s = np.ascontiguousarray(r0_full[:, :nbc])
+    if reuse_buffers:
+        # Lifetime matches the documented double-buffer contract: the scratch
+        # group flips the same way the wire group does, so a view into it is
+        # valid until this thread's call after next.
+        counts = np.ascontiguousarray(counts_full[:, :nbc])
+        r0s = np.ascontiguousarray(r0_full[:, :nbc])
+    else:
+        # Must own the memory: ascontiguousarray returns the TLS scratch
+        # itself whenever the [:, :nbc] slice is already contiguous
+        # (nbc == nbc_cap), which would let two later calls on this thread
+        # silently rewrite a retained batch's chunk counts (ADVICE r4 high).
+        counts = counts_full[:, :nbc].copy()
+        r0s = r0_full[:, :nbc].copy()
     return xq, yq, pq, tr, counts, r0s, t_range.copy()
 
 

@@ -226,3 +226,36 @@ def test_chunk_events_reuse_buffers_double_buffered(rng):
         np.testing.assert_array_equal(u, v)
     # the two live rotations are distinct buffers
     assert not np.shares_memory(w1[0], w2[0])
+
+
+@pytest.mark.parametrize("trim", [False, True])
+def test_chunk_events_fresh_buffers_never_alias_scratch(rng, trim):
+    """reuse_buffers=False must return OWNED arrays: a retained batch's
+    counts/tile_r0 may not mutate after later packer calls on the same
+    thread (ADVICE r4 high — ascontiguousarray of a full-width slice used
+    to return the TLS scratch itself whenever nbc saturated at nbc_cap)."""
+    from openess_tpu.native import HAVE_NATIVE, chunk_events_windows_host
+
+    if not HAVE_NATIVE:
+        pytest.skip("native library unavailable")
+    NW, K, H, W = 2, 3000, 48, 96
+
+    def make():
+        x = rng.uniform(0, W - 1, (NW, K)).astype(np.float32)
+        y = rng.uniform(0, H - 1, (NW, K)).astype(np.float32)
+        p = rng.integers(0, 2, (NW, K)).astype(np.float32)
+        t = np.sort(rng.uniform(0, 1e5, (NW, K)), axis=1)
+        v = np.ones((NW, K), bool)
+        return x, y, p, t, v
+
+    kw = dict(height=H, width=W, chunk=256, n_threads=1, trim=trim)
+    a0 = make()
+    retained = chunk_events_windows_host(*a0, reuse_buffers=False, **kw)
+    snapshot = [np.array(a, copy=True) for a in retained]
+    # Two more same-shape calls flip the TLS double buffer all the way around;
+    # if any returned array aliased scratch, it would now hold call-3's data.
+    chunk_events_windows_host(*make(), reuse_buffers=False, **kw)
+    chunk_events_windows_host(*make(), reuse_buffers=False, **kw)
+    names = ("xq", "yq", "pq", "t_rel", "counts", "tile_r0", "t_range")
+    for name, live, snap in zip(names, retained, snapshot):
+        np.testing.assert_array_equal(live, snap, err_msg=name)
