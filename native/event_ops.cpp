@@ -576,13 +576,21 @@ void chunk_events_phase_a(
 // past counts_o and whole unused chunks), so the wire is deterministic and
 // equals the numpy reference's zero-padded layout. counts_o is read at
 // stride nbc_cap (phase A's layout), first nbc entries per window.
+//
+// t16 != 0 selects the v2 time wire: tr_o holds uint16 instead of f32, the
+// relative time quantized against phase A's trange_o (round-half-even,
+// t_rel/t_range * 65535). All steps are f32 with the same op order as the
+// numpy reference, so the two packers stay bit-identical. Worst-case time
+// error is t_range/131070 (~0.4 us of a 50 ms window) — two orders below
+// the reference's own f32 cast of ABSOLUTE us timestamps (~64 us ulp at
+// 1e9 us, DSEC/dataset/representations.py:24).
 void chunk_events_phase_b(
     const float* x, const float* y, const float* p, const double* t,
     const uint8_t* valid, int64_t n_win, int64_t K,
     int H, int W, int chunk, int nbc, int nbc_cap, int integer_coords,
     int32_t* key_pos, const int32_t* counts_o, const double* tfirst_o,
-    int16_t* xq_o, int16_t* yq_o, uint8_t* pq_o, float* tr_o,
-    int n_threads) {
+    const float* trange_o, int16_t* xq_o, int16_t* yq_o, uint8_t* pq_o,
+    void* tr_o, int t16, int n_threads) {
   const int n_tiles = (H + kTile - 1) / kTile;
   const int64_t n_key = (int64_t)n_tiles * W;
   if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
@@ -608,16 +616,28 @@ void chunk_events_phase_b(
       int16_t* xqw = xq_o + w * wire_end;
       int16_t* yqw = yq_o + w * wire_end;
       uint8_t* pqw = pq_o + w * wire_end;
-      float* trw = tr_o + w * wire_end;
+      float* trw = t16 ? nullptr : (float*)tr_o + w * wire_end;
+      uint16_t* tqw = t16 ? (uint16_t*)tr_o + w * wire_end : nullptr;
+      // f32 division, matching np.float32(65535.0) / t_range in the
+      // reference chunker (trange_o >= 1 fallback guarantees tscale finite)
+      const float tscale = t16 ? 65535.0f / trange_o[w] : 0.f;
 
       for (int64_t i0 = 0; i0 < K; i0 += kBlock) {
         const int64_t i1 = std::min(i0 + kBlock, K);
         const int64_t n = i1 - i0;
         quantize_block(xw, yw, vw, i0, i1, H, W, integer_coords,
                        qx.data(), qy.data(), key.data(), tile.data());
-        for (int64_t j = 0; j < n; ++j) {  // vectorizable
-          trel[j] = (float)(tw[i0 + j] - t_first);
-          pq[j] = (uint8_t)(pw[i0 + j] > 0.f ? 1 : 0);
+        if (t16) {
+          for (int64_t j = 0; j < n; ++j) {  // vectorizable
+            const float tr32 = (float)(tw[i0 + j] - t_first);
+            trel[j] = std::min(std::nearbyintf(tr32 * tscale), 65535.f);
+            pq[j] = (uint8_t)(pw[i0 + j] > 0.f ? 1 : 0);
+          }
+        } else {
+          for (int64_t j = 0; j < n; ++j) {  // vectorizable
+            trel[j] = (float)(tw[i0 + j] - t_first);
+            pq[j] = (uint8_t)(pw[i0 + j] > 0.f ? 1 : 0);
+          }
         }
         for (int64_t j = 0; j < n; ++j) {
           // software prefetch: pull the cursor line and (via its slightly
@@ -631,7 +651,8 @@ void chunk_events_phase_b(
               __builtin_prefetch(xqw + sf, 1);
               __builtin_prefetch(yqw + sf, 1);
               __builtin_prefetch(pqw + sf, 1);
-              __builtin_prefetch(trw + sf, 1);
+              __builtin_prefetch(t16 ? (void*)(tqw + sf) : (void*)(trw + sf),
+                                 1);
             }
           }
           const int32_t k = key[j];
@@ -643,7 +664,8 @@ void chunk_events_phase_b(
           xqw[slot] = (int16_t)qx[j];
           yqw[slot] = (int16_t)qy[j];
           pqw[slot] = pq[j];
-          trw[slot] = trel[j];
+          if (t16) tqw[slot] = (uint16_t)trel[j];
+          else trw[slot] = trel[j];
         }
       }
 
@@ -657,7 +679,8 @@ void chunk_events_phase_b(
         std::memset(xqw + off, 0, pad * sizeof(int16_t));
         std::memset(yqw + off, 0, pad * sizeof(int16_t));
         std::memset(pqw + off, 0, pad * sizeof(uint8_t));
-        std::memset(trw + off, 0, pad * sizeof(float));
+        if (t16) std::memset(tqw + off, 0, pad * sizeof(uint16_t));
+        else std::memset(trw + off, 0, pad * sizeof(float));
       }
     }
   };

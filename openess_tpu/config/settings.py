@@ -52,6 +52,12 @@ class Settings:
     #   'grid': host voxelizes (native C++ when host_voxelize, else the
     #     device pre-pass) and ships dense [B,T,bins,H,W] grids
     wire_format: str = "raw_events"
+    # v2 raw_events time wire: t_rel rides as uint16 quantized against the
+    # shipped per-window t_range (7 B/event instead of 9, ~22% less wire;
+    # worst-case time error t_range/131070 ≈ 0.4 µs per 50 ms window — two
+    # orders finer than the reference's f32 cast of absolute µs timestamps).
+    # Set false to ship exact f32 relative times (wire v1).
+    wire_t16: bool = True
     host_voxelize: bool = True  # native C++ host voxelizer for 'grid' wire
     # EXPERIMENTAL: run E2VID's head/enc0 in the 2x2 space-to-depth domain
     # (exact conv rewrites, checkpoint-compatible). Measured SLOWER on
@@ -221,6 +227,7 @@ def load_settings(settings_yaml: str, generate_log: bool = False) -> Settings:
     s.tp_mode = _get(y, "tpu", "tp_mode", default="channel")
     s.teacher_os = int(_get(y, "tpu", "teacher_os", default=4))
     s.wire_format = _get(y, "tpu", "wire_format", default="raw_events")
+    s.wire_t16 = bool(_get(y, "tpu", "wire_t16", default=True))
     s.host_voxelize = bool(_get(y, "tpu", "host_voxelize", default=True))
     s.e2vid_s2d = bool(_get(y, "tpu", "e2vid_s2d", default=False))
     s.e2vid_fused_gates = bool(_get(y, "tpu", "e2vid_fused_gates", default=False))

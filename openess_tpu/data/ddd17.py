@@ -287,7 +287,7 @@ class DDD17Dataset:
                     np.stack([e[4] for e in ev]).reshape(B * T, K),
                     height=HEIGHT, width=WIDTH, integer_coords=True,
                     n_threads=s.num_cpu_workers,
-                    reuse_buffers=wire_reuse_ok(),
+                    reuse_buffers=wire_reuse_ok(), t16=s.wire_t16,
                 )
                 from openess_tpu.data.device_voxelize import pack_wire_batch
 

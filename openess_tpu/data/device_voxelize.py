@@ -11,7 +11,10 @@ ddd17_events_loader.py:183-196``) moved onto the TPU, where it runs at
 Wire batch keys (all batch-sharded on the data mesh axis):
   ev_x, ev_y   int16 [B, T, NBC, E]   fixed-point coords (x32)
   ev_p         uint8 [B, T, NBC, E]
-  ev_t         f32   [B, T, NBC, E]   time rel. to the window's first event
+  ev_t         u16|f32 [B, T, NBC, E] time rel. to the window's first event
+                                      (u16 = wire v2, quantized against
+                                      ev_trange — tpu.wire_t16 default;
+                                      f32 = exact v1)
   ev_counts    int32 [B, T, NBC]      valid events per chunk
   ev_r0        int32 [B, T, NBC]      packed chunk descriptor:
                                       row-tile offset | (col-tile offset << 16)

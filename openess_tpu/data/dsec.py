@@ -320,7 +320,7 @@ class DSECDataset:
                     np.stack([e[3] for e in ev]).reshape(B * T, K),
                     np.stack([e[4] for e in ev]).reshape(B * T, K),
                     height=H, width=W, n_threads=s.num_cpu_workers,
-                    reuse_buffers=wire_reuse_ok(),
+                    reuse_buffers=wire_reuse_ok(), t16=s.wire_t16,
                 )
                 from openess_tpu.data.device_voxelize import pack_wire_batch
 

@@ -48,7 +48,9 @@ def _with_get_batch(ds, s: Settings):
         bins = s.nr_temporal_bins_b
         needs_events = s.config_option in VOXEL_OPTIONS
         if needs_events and s.wire_format == "raw_events":
-            ds.get_batch = lambda idx: ds.raw_wire_batch(list(idx), num_bins=bins)
+            ds.get_batch = lambda idx: ds.raw_wire_batch(
+                list(idx), num_bins=bins, t16=s.wire_t16
+            )
         else:
             ds.get_batch = lambda idx: ds.voxelized_batch(list(idx), num_bins=bins)
     return ds

@@ -113,11 +113,13 @@ class SyntheticESS:
     def __getitem__(self, idx):
         return self._cache[idx]
 
-    def raw_wire_batch(self, indices, num_bins: int = 5) -> dict:
+    def raw_wire_batch(self, indices, num_bins: int = 5,
+                       t16: bool = True) -> dict:
         """Batch with events in the compact sorted-chunk wire format
         (tpu.wire_format: raw_events), trimmed to the bucketed batch-max
         chunk count exactly as the production datasets ship it; the jitted
-        step voxelizes on-device."""
+        step voxelizes on-device. ``t16`` matches the production wire_t16
+        default (uint16 relative time, 7 B/event)."""
         from openess_tpu.native import chunk_events_windows_host
 
         out = {k: [] for k in ("frame", "recon", "label", "pl",
@@ -139,7 +141,7 @@ class SyntheticESS:
         cat = lambda a: np.concatenate(a, axis=0)
         wire = chunk_events_windows_host(
             cat(xs), cat(ys), cat(ps), cat(ts).astype(np.float64), cat(vs),
-            height=self.height, width=self.width,
+            height=self.height, width=self.width, t16=t16,
         )
         from openess_tpu.data.device_voxelize import pack_wire_batch
 

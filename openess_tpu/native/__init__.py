@@ -78,10 +78,11 @@ def _bind(lib, fp, ip, i64, i32):
         i32, i32, i32, i32, i32,
         i32p, i32p, i32p, dp, fp, i32p, i32,
     ]
+    anyp = np.ctypeslib.ndpointer(flags="C_CONTIGUOUS")  # f32 or u16 t wire
     lib.chunk_events_phase_b.argtypes = [
         fp, fp, fp, dp, u8p, i64, i64,
         i32, i32, i32, i32, i32, i32,
-        i32p, i32p, dp, i16p, i16p, u8p, fp, i32,
+        i32p, i32p, dp, fp, i16p, i16p, u8p, anyp, i32, i32,
     ]
     lib.time_indices_offsets.argtypes = [
         ip, i64, i64, i64,
@@ -331,7 +332,7 @@ def _tls_buffers(group: str, key, alloc):
 
 def chunk_events_windows_host(
     x, y, p, t, valid, *, height, width, chunk=None, integer_coords=False,
-    n_threads=1, trim=True, reuse_buffers=False,
+    n_threads=1, trim=True, reuse_buffers=False, t16=False,
 ):
     """Batched sorted-chunk wire packer (native two-phase, thread-parallel
     across windows) for the Pallas sorted-chunk voxelizer. ``[n_win, K]``
@@ -351,6 +352,10 @@ def chunk_events_windows_host(
     a double buffer: the returned arrays are overwritten by the same
     thread's call after next. Safe for assemble->device_put pipeline workers
     (shard_batch blocks on the copy); leave False if batches are retained.
+
+    ``t16=True`` selects the v2 time wire: ``t_rel`` rides as uint16
+    quantized against ``t_range`` (7 B/event instead of 9; worst-case time
+    error t_range/131070 — see ``chunk_events_window``).
     """
     from openess_tpu.ops.voxelize_chunked import (
         CHUNK,
@@ -369,7 +374,7 @@ def chunk_events_windows_host(
             xs, np.asarray(y, np.float32), np.asarray(p, np.float32),
             np.asarray(t, np.float64), np.asarray(valid, bool),
             height=height, width=width, chunk=chunk,
-            integer_coords=integer_coords,
+            integer_coords=integer_coords, t16=t16,
         )
         if not trim:
             return out
@@ -413,17 +418,19 @@ def chunk_events_windows_host(
     else:
         nbc = nbc_cap
 
+    t_dtype = np.uint16 if t16 else np.float32
+
     def alloc_wire():
         return (
             np.empty((n_win, nbc, chunk), np.int16),
             np.empty((n_win, nbc, chunk), np.int16),
             np.empty((n_win, nbc, chunk), np.uint8),
-            np.empty((n_win, nbc, chunk), np.float32),
+            np.empty((n_win, nbc, chunk), t_dtype),
         )
 
     if reuse_buffers:
         xq, yq, pq, tr = _tls_buffers(
-            "chunk_wire", (n_win, nbc, chunk), alloc_wire
+            "chunk_wire", (n_win, nbc, chunk, t_dtype), alloc_wire
         )
     else:
         xq, yq, pq, tr = alloc_wire()
@@ -432,8 +439,9 @@ def chunk_events_windows_host(
         vs.reshape(-1), n_win, K, height, width, chunk, nbc, nbc_cap,
         int(integer_coords),
         key_pos.reshape(-1), counts_full.reshape(-1), tfirst,
+        t_range.reshape(-1),
         xq.reshape(-1), yq.reshape(-1), pq.reshape(-1), tr.reshape(-1),
-        n_threads,
+        int(t16), n_threads,
     )
     if reuse_buffers:
         # Lifetime matches the documented double-buffer contract: the scratch

@@ -19,14 +19,17 @@ Design (TPU-first, no scatter, no device sort):
    host work per event in its DataLoader voxelization
    (``DSEC/dataset/sequence_ov.py:304-305``).
 
-2. **Compact wire format** (9 B/event vs 20 B raw f32 SoA, vs ~56 B/event of
-   grid): ``x, y`` int16 fixed-point (coord × 32, 1/32-px resolution —
-   covers rectified DSEC floats and integer DDD17 coords; the fraction is
-   quantized relative to trunc(x) so the trunc-toward-zero corner pair is
-   preserved EXACTLY and the coord error is ≤ 1/32 px, far below
-   event-count noise), ``p`` uint8, ``t_rel`` float32 relative to the
-   window's first valid event (exact for µs timestamps — *better* than the
-   reference's f32 cast of absolute timestamps).
+2. **Compact wire format** (7 B/event v2 / 9 B/event v1, vs 20 B raw f32
+   SoA, vs ~56 B/event of grid): ``x, y`` int16 fixed-point (coord × 32,
+   1/32-px resolution — covers rectified DSEC floats and integer DDD17
+   coords; the fraction is quantized relative to trunc(x) so the
+   trunc-toward-zero corner pair is preserved EXACTLY and the coord error
+   is ≤ 1/32 px, far below event-count noise), ``p`` uint8, and ``t_rel``
+   relative to the window's first valid event — float32 in wire v1 (exact
+   for µs timestamps), uint16 in wire v2 (``t16=True``, the production
+   default: quantized against the shipped ``t_range``, worst-case error
+   t_range/131070 ≈ 0.4 µs per 50 ms window). Both beat the reference's
+   f32 cast of ABSOLUTE µs timestamps (~64 µs ulp at 1e9 µs).
 
 3. **Pallas kernel**: one grid step per window; the per-window output grid
    lives in VMEM. For each chunk the trilinear 8-corner splat
@@ -91,7 +94,7 @@ def num_chunks(k: int, height: int, *, width: int, chunk: int = CHUNK) -> int:
 
 def chunk_events_window(
     x, y, p, t, valid, *, height: int, width: int, chunk: int = CHUNK,
-    integer_coords: bool = False,
+    integer_coords: bool = False, t16: bool = False,
 ):
     """Sort one window's events into tile-pure chunks (numpy reference).
 
@@ -103,12 +106,20 @@ def chunk_events_window(
     ``counts``/``tile_r0`` int32 [NBC], ``t_range`` f32 scalar.
     ``integer_coords`` enables the DDD17 convention (drop events outside the
     frame; no corner spill).
+
+    ``t16`` selects the v2 time wire: ``t_rel`` rides as uint16 quantized
+    against ``t_range`` (round-half-even of ``t_rel / t_range * 65535``),
+    cutting the wire from 9 to 7 B/event. Worst-case time error is
+    ``t_range / 131070`` (~0.4 µs of a 50 ms DSEC window) — two orders
+    finer than the reference's own f32 cast of ABSOLUTE µs timestamps
+    (~64 µs ulp at 1e9 µs, ``DSEC/dataset/representations.py:24``).
     """
     nbc = num_chunks(x.shape[0], height, width=width, chunk=chunk)
+    t_dtype = np.uint16 if t16 else np.float32
     xq_o = np.zeros((nbc, chunk), np.int16)
     yq_o = np.zeros((nbc, chunk), np.int16)
     pq_o = np.zeros((nbc, chunk), np.uint8)
-    tr_o = np.zeros((nbc, chunk), np.float32)
+    tr_o = np.zeros((nbc, chunk), t_dtype)
     counts = np.zeros((nbc,), np.int32)
     tile_r0 = np.zeros((nbc,), np.int32)
 
@@ -169,6 +180,13 @@ def chunk_events_window(
     xq, yq, y0, x0 = xq[keep], yq[keep], y0[keep], x0[keep]
     pk = np.asarray(p)[keep]
     trel = (np.asarray(t, np.float64)[keep] - t_first).astype(np.float32)
+    if t16:
+        # f32 op order mirrors the C++ twin exactly (f32 scale division,
+        # f32 product, round-half-even), so the packers stay bit-identical
+        tscale = np.float32(65535.0) / t_range
+        trel = np.minimum(
+            np.round(trel * tscale), np.float32(65535.0)
+        ).astype(np.uint16)
 
     # sort by (16-row tile, x corner): within a row tile the x-span of any
     # contiguous run is monotone, so chunks are cut GREEDILY when the run
@@ -218,13 +236,13 @@ def chunk_events_window(
 
 
 def chunk_events_batch(x, y, p, t, valid, *, height, width, chunk=CHUNK,
-                       integer_coords=False):
+                       integer_coords=False, t16=False):
     """Stack :func:`chunk_events_window` over ``[NW, K]`` inputs."""
     outs = [
         chunk_events_window(
             x[w], y[w], p[w], t[w], valid[w],
             height=height, width=width, chunk=chunk,
-            integer_coords=integer_coords,
+            integer_coords=integer_coords, t16=t16,
         )
         for w in range(x.shape[0])
     ]
@@ -375,17 +393,30 @@ def _bil_kernel(r0_ref, c0_ref, cnt_ref, x_ref, y_ref, tn_ref, v_ref,
 
 def _prep(xq, yq, pq, t_rel, counts, t_range, num_bins):
     """XLA pre-pass: dequantize + mask padding slots (cheap elementwise;
-    the compact wire stays compact over PCIe/DMA, f32 exists only on-chip)."""
+    the compact wire stays compact over PCIe/DMA, f32 exists only on-chip).
+
+    ``t_rel`` dtype selects the wire version: f32 is the v1 relative time
+    (normalized against ``t_range`` here); uint16 is the v2 quantized time
+    (``t_rel / t_range * 65535`` on the host), dequantized straight to the
+    normalized bin coordinate — ``t_range`` only rides along for the v1
+    path and host-side diagnostics.
+    """
     nw, nbc, e = xq.shape
     slot = jax.lax.broadcasted_iota(jnp.int32, (nw, nbc, e), 2)
     valid = slot < counts[..., None]
     inv32 = jnp.float32(1.0 / FIXED_POINT)
     x = jnp.where(valid, xq.astype(jnp.float32) * inv32, -4.0)
     y = jnp.where(valid, yq.astype(jnp.float32) * inv32, -4.0)
-    rng = jnp.maximum(t_range, 1e-9)[:, None, None]
-    tn = jnp.where(
-        valid, (num_bins - 1) * t_rel.astype(jnp.float32) / rng, -4.0
-    )
+    if t_rel.dtype == jnp.uint16:
+        tn_val = (
+            jnp.float32(num_bins - 1)
+            * t_rel.astype(jnp.float32)
+            * jnp.float32(1.0 / 65535.0)
+        )
+    else:
+        rng = jnp.maximum(t_range, 1e-9)[:, None, None]
+        tn_val = (num_bins - 1) * t_rel.astype(jnp.float32) / rng
+    tn = jnp.where(valid, tn_val, -4.0)
     v = jnp.where(valid, 2.0 * pq.astype(jnp.float32) - 1.0, 0.0)
     return x, y, tn, v
 

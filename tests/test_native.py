@@ -153,11 +153,14 @@ def test_bilinear_t_windows_chw_layout_matches_nhwc(rng, separate_pol):
     np.testing.assert_array_equal(chw, nhwc.transpose(0, 3, 1, 2))
 
 
+@pytest.mark.parametrize("t16", [False, True])
 @pytest.mark.parametrize("integer_coords", [False, True])
 @pytest.mark.parametrize("n_threads", [1, 3])
-def test_chunk_events_windows_matches_numpy(rng, integer_coords, n_threads):
+def test_chunk_events_windows_matches_numpy(rng, integer_coords, n_threads,
+                                            t16):
     """The C++ sorted-chunk wire packer must be bit-identical to the numpy
-    reference chunker (quantization, keep-masks, tile sort, chunk cuts)."""
+    reference chunker (quantization, keep-masks, tile sort, chunk cuts) —
+    for both the f32 (v1) and uint16-quantized (v2) time wires."""
     from openess_tpu.native import chunk_events_windows_host
     from openess_tpu.ops.voxelize_chunked import chunk_events_batch
 
@@ -172,15 +175,17 @@ def test_chunk_events_windows_matches_numpy(rng, integer_coords, n_threads):
     got = chunk_events_windows_host(
         x, y, p, t, valid, height=H, width=W, chunk=256,
         integer_coords=integer_coords, n_threads=n_threads, trim=False,
+        t16=t16,
     )
     ref = chunk_events_batch(
         x, y, p, t, valid, height=H, width=W, chunk=256,
-        integer_coords=integer_coords,
+        integer_coords=integer_coords, t16=t16,
     )
     names = ("xq", "yq", "pq", "t_rel", "counts", "tile_r0", "t_range")
     for name, u, v in zip(names, got, ref):
         assert u.shape == v.shape and u.dtype == v.dtype, name
         np.testing.assert_array_equal(u, v, err_msg=name)
+    assert got[3].dtype == (np.uint16 if t16 else np.float32)
 
     # trim=True (production default): the wire's chunk axis shrinks to the
     # bucketed batch-max USED chunk count, and every array bit-matches the
@@ -188,6 +193,7 @@ def test_chunk_events_windows_matches_numpy(rng, integer_coords, n_threads):
     trimmed = chunk_events_windows_host(
         x, y, p, t, valid, height=H, width=W, chunk=256,
         integer_coords=integer_coords, n_threads=n_threads, trim=True,
+        t16=t16,
     )
     nbc_t = trimmed[0].shape[1]
     used = int((ref[4] > 0).sum(axis=1).max())

@@ -234,6 +234,58 @@ def test_chunked_bilinear_t_matches_scatter(rng):
         assert err < 5e-3, (sep, err)
 
 
+def test_t16_time_quantization_error_bound(rng):
+    """Wire v2 (t16=True): the uint16 relative time must dequantize to
+    within t_range/131070 of the exact f32 relative time — the round-half-
+    even bound the wire format documents (two orders below the reference's
+    ~64 µs f32 ulp on absolute µs timestamps,
+    DSEC/dataset/representations.py:24)."""
+    H, W, k = 48, 96, 4000
+    x = rng.uniform(0, W - 1, (k,)).astype(np.float32)
+    y = rng.uniform(0, H - 1, (k,)).astype(np.float32)
+    p = rng.integers(0, 2, (k,)).astype(np.float32)
+    t = np.sort(rng.uniform(1e9, 1e9 + 5e4, (k,)))  # absolute µs, 50 ms
+    v = np.ones((k,), bool)
+    f32 = chunk_events_window(x, y, p, t, v, height=H, width=W, t16=False)
+    u16 = chunk_events_window(x, y, p, t, v, height=H, width=W, t16=True)
+    assert u16[3].dtype == np.uint16 and f32[3].dtype == np.float32
+    # identical layout: only the time payload differs
+    for i in (0, 1, 2, 4, 5, 6):
+        np.testing.assert_array_equal(u16[i], f32[i])
+    t_range = float(f32[6])
+    counts = f32[4]
+    for ci in range(len(counts)):
+        n = counts[ci]
+        deq = u16[3][ci, :n].astype(np.float64) * (t_range / 65535.0)
+        err = np.abs(deq - f32[3][ci, :n].astype(np.float64)).max() if n else 0
+        # half-quantum + a few f32 ulps (tscale division + product round)
+        assert err <= t_range * (0.5 / 65535.0 + 2.0**-22), err
+
+
+def test_chunked_trilinear_t16_matches_f32_wire(rng):
+    """The voxel grid built from the 7 B/event v2 wire must match the 9 B
+    v1 wire's grid to the time-quantization bound: the trilinear t-weight is
+    linear in normalized time, so per-event weight error ≤ (C-1)/131070;
+    the 5e-3 tolerance is the kernel's own bf16-accumulation noise floor
+    (same bound as the chunked-vs-scatter comparisons above)."""
+    C, H, W = 5, 48, 96
+    x, y, p, t, valid = _events(rng, 2, 4000, H, W)
+    grids = {}
+    for t16 in (False, True):
+        xq, yq, pq, tr, counts, r0s, t_range = chunk_events_batch(
+            x, y, p, t, valid, height=H, width=W, chunk=256, t16=t16
+        )
+        grids[t16] = np.asarray(
+            voxelize_chunked_trilinear(
+                xq, yq, pq, tr, counts, r0s, t_range,
+                num_bins=C, height=H, width=W, interpret=True,
+            )
+        )
+    scale = np.abs(grids[False]).max() + 1e-9
+    err = np.abs(grids[True] - grids[False]).max() / scale
+    assert err < 5e-3, err
+
+
 def test_chunked_trilinear_normalize(rng):
     C, H, W = 3, 32, 128
     x, y, p, t, valid = _events(rng, 1, 1000, H, W)
