@@ -31,7 +31,7 @@ shapes from the architecture constants pinned by the reference sources:
 Used by ``tests/test_fcclip.py::test_convert_consumes_released_manifest``
 to prove :mod:`openess_tpu.models.fcclip.convert` consumes EVERY released
 key (no silent drops) and emits the full flax parameter tree at the right
-shapes, and by ``tools/convert_fcclip.py`` to pre-validate a downloaded
+shapes, and by ``tools/preflight.py`` to pre-validate a downloaded
 checkpoint before conversion.
 """
 from __future__ import annotations
@@ -207,15 +207,16 @@ def validate_state_dict(sd, *, strict_extra: bool = True) -> None:
     """Raise with a full diff if ``sd`` (a torch ``model`` state dict) does
     not match the released manifest — run before any real conversion so a
     mismatched download fails loudly instead of silently mis-converting."""
-    import numpy as np
-
     man = released_manifest()
     missing = sorted(k for k in man if k not in sd)
     extra = sorted(k for k in sd if k not in man)
+    # read .shape directly (torch tensors and numpy arrays both expose it):
+    # np.asarray would materialize a full copy of every tensor and crash on
+    # torch dtypes numpy can't convert (bfloat16/half) — ADVICE r4
     bad = sorted(
-        f"{k}: got {tuple(np.asarray(sd[k]).shape)} want {man[k]}"
+        f"{k}: got {tuple(sd[k].shape)} want {man[k]}"
         for k in man
-        if k in sd and tuple(np.asarray(sd[k]).shape) != man[k]
+        if k in sd and tuple(sd[k].shape) != man[k]
     )
     problems = []
     if missing:

@@ -143,7 +143,14 @@ def convert_e2vid(sd: Dict, prefix: str = "unetrecurrent.") -> Dict:
     """``E2VID_lightweight`` state_dict -> params for
     :class:`openess_tpu.models.e2vid.UNetRecurrent` (3 encoders, 2 resblocks,
     transposed-conv decoders)."""
-    sd = {k[len(prefix):] if k.startswith(prefix) else k: v for k, v in sd.items()}
+    if prefix and any(k.startswith(prefix) for k in sd):
+        # only rebuild when stripping is actually needed: callers that pass
+        # an already-stripped mapping (e.g. tools/preflight.py's
+        # consumption-tracking dict) keep their subclass behavior
+        sd = {
+            k[len(prefix):] if k.startswith(prefix) else k: v
+            for k, v in sd.items()
+        }
 
     def conv_layer(name):
         out = {"conv2d": {"kernel": conv_w(sd[name + ".conv2d.weight"])}}
