@@ -182,6 +182,27 @@ def main():
 
     budget_ms = 1e3 / args.rate_hz
     lat, phases, n = [], [], 0
+    # Pin the wire's chunk-axis width across windows: a per-window bucketed
+    # trim would change the wire SHAPE whenever event density shifts,
+    # forcing a jit retrace of step/voxelize mid-stream — each retrace blows
+    # the real-time budget this tool measures (ADVICE r4). The pin grows
+    # monotonically (one retrace per new density high-water mark, then
+    # stable); sparser windows are zero-padded up to it (zero counts are
+    # masked chunks in the voxelizer).
+    pinned_nbc = 0
+    pending = None  # window n-1's labels, still on device (double buffer)
+
+    def emit(pred_np, idx):
+        if not args.out_dir:
+            return
+        from openess_tpu.utils.viz import colorize_semseg, save_png
+
+        os.makedirs(args.out_dir, exist_ok=True)
+        rgb = colorize_semseg(
+            pred_np[0], s.semseg_color_map, s.semseg_ignore_label
+        )
+        save_png(os.path.join(args.out_dir, f"pred_{idx:06d}.png"), rgb)
+
     for x, y, p, t in event_window_source(args, sh, sw):
         t0 = time.perf_counter()
         xs = np.broadcast_to(x.astype(np.float32), (S, x.size))
@@ -191,32 +212,45 @@ def main():
         va = np.ones((S, x.size), bool)
         wire = chunk_events_windows_host(
             xs, ys, ps, ts, va, height=sh, width=sw, n_threads=1,
-            integer_coords=integer_coords,
+            integer_coords=integer_coords, t16=s.wire_t16,
         )
+        nbc_w = wire[0].shape[1]
+        if nbc_w > pinned_nbc:
+            pinned_nbc = nbc_w
+        elif nbc_w < pinned_nbc:
+            pad = pinned_nbc - nbc_w
+            wire = tuple(
+                np.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2))
+                if a.ndim >= 2 else a
+                for a in wire
+            )
         t1 = time.perf_counter()
         dev = {
             k: jax.device_put(v)
             for k, v in pack_wire_batch(wire, S, 1).items()
         }
         t2 = time.perf_counter()
+        # double-buffered serving: window n-1's step was dispatched last
+        # iteration and computed WHILE this window was packed + uploaded, so
+        # fetching its labels now pays only the transfer, not the compute.
+        # The fetch goes BEFORE this window's dispatch: the transport
+        # processes requests in order, so fetch-after-dispatch would queue
+        # behind window n's full compute. Labels arrive one window late,
+        # well inside any real-time budget.
+        if pending is not None:
+            emit(np.asarray(pending), n - 1)
         carry, pred = step(carry, dev)
-        pred_np = np.asarray(pred)  # fetch = the only real sync on the relay
+        pending = pred
         t3 = time.perf_counter()
         ms = (t3 - t0) * 1e3
         if n > 0:  # first call pays compile; not a serving-rate sample
             lat.append(ms)
             phases.append(((t1 - t0) * 1e3, (t2 - t1) * 1e3, (t3 - t2) * 1e3))
-        if args.out_dir:
-            from openess_tpu.utils.viz import colorize_semseg, save_png
-
-            os.makedirs(args.out_dir, exist_ok=True)
-            rgb = colorize_semseg(
-                pred_np[0], s.semseg_color_map, s.semseg_ignore_label
-            )
-            save_png(os.path.join(args.out_dir, f"pred_{n:06d}.png"), rgb)
         n += 1
         if args.max_windows and n >= args.max_windows:
             break
+    if pending is not None:  # drain the last in-flight window
+        emit(np.asarray(pending), n - 1)
 
     if not lat:
         raise SystemExit("need >= 2 windows to measure the serving rate")
@@ -226,7 +260,8 @@ def main():
     pk, pu, pc = np.median(np.array(phases), axis=0)
     print(f"served {n} windows x {S} stream(s): "
           f"p50 {p50:.1f} ms  p95 {p95:.1f} ms per window "
-          f"(pack {pk:.1f} + wire-upload {pu:.1f} + step+fetch {pc:.1f})")
+          f"(pack {pk:.1f} + wire-upload {pu:.1f} "
+          f"+ prev-fetch+dispatch {pc:.1f})")
     print(f"per-stream rate {rate:.1f} windows/s "
           f"({S * rate:.1f}/chip aggregate); target {args.rate_hz:.0f} Hz "
           f"({budget_ms:.0f} ms budget) -> real-time margin "
