@@ -143,21 +143,28 @@ def test_pretrain_loss_ablation_ladder(tmp_path):
     rows = []
     for seed in (0, 1, 2):
         st_nce = _pretrain(train_ds, True, False, seed, 72)
+        st_pl = _pretrain(train_ds, False, True, seed, 72)
         st_both = _pretrain(train_ds, True, True, seed, 72)
         m_rand = _probe(train_ds, val_ds, None, seed, "r", tmp_path, 32)
         m_nce = _probe(train_ds, val_ds, st_nce, seed, "n", tmp_path, 32)
+        m_pl = _probe(train_ds, val_ds, st_pl, seed, "p", tmp_path, 32)
         m_both = _probe(train_ds, val_ds, st_both, seed, "b", tmp_path, 32)
         print(f"seed={seed}: probe rand={m_rand:.2f} nce={m_nce:.2f} "
-              f"nce+pl={m_both:.2f}")
+              f"pl={m_pl:.2f} nce+pl={m_both:.2f}")
         assert m_nce > m_rand + 0.3, ("F2E/NCE per-seed", seed, m_nce, m_rand)
         assert m_both > m_rand, ("NCE+PL >= random", seed, m_both, m_rand)
-        rows.append((m_rand, m_nce, m_both))
+        assert m_pl > m_rand, ("T2E/PL-only >= random", seed, m_pl, m_rand)
+        rows.append((m_rand, m_nce, m_pl, m_both))
 
     mean = np.array(rows).mean(axis=0)
-    print(f"means: rand={mean[0]:.2f} nce={mean[1]:.2f} nce+pl={mean[2]:.2f}")
+    print(f"means: rand={mean[0]:.2f} nce={mean[1]:.2f} pl={mean[2]:.2f} "
+          f"nce+pl={mean[3]:.2f}")
     assert mean[0] + 1.25 < mean[1], ("mean rand<nce", mean)
-    assert mean[1] + 0.1 < mean[2], ("mean nce<nce+pl", mean)
-    assert mean[0] + 2.0 < mean[2], ("mean rand<nce+pl", mean)
+    assert mean[1] + 0.1 < mean[3], ("mean nce<nce+pl", mean)
+    assert mean[0] + 2.0 < mean[3], ("mean rand<nce+pl", mean)
+    # PL-only (T2E without F2E) isolates the pseudo-label family: it must
+    # lift the probe on its own (the complement of the NCE-only arm)
+    assert mean[0] + 1.0 < mean[2], ("mean rand<pl", mean)
 
 
 @pytest.mark.slow
@@ -228,3 +235,142 @@ def test_annotation_free_pretrain_beats_random(tmp_path):
     assert miou_pretrained > miou_random + 2.5, (
         miou_pretrained, miou_random,
     )
+
+
+class _Subset:
+    """A labeled subset of a dataset — the reference's skip_ratio label
+    scarcity (sequence_ov.py:118-126) in index form."""
+
+    def __init__(self, ds, idx):
+        self.ds, self.idx = ds, list(idx)
+
+    def __len__(self):
+        return len(self.idx)
+
+    def voxelized_batch(self, idx):
+        return self.ds.voxelized_batch([self.idx[i] for i in idx])
+
+
+def _finetune(labeled, val_ds, from_state, seed, tag, tmp, n_steps):
+    """Frozen-backbone fine-tune of the recon deeplab (the reference's
+    `frozen_backbone` finetune variant, deeplabv3.py:172-177: backbone
+    frozen, ASPP head + classifier train on GT), optionally initialized
+    through the real partial-transfer path — the reference's stage-2
+    `load_pretrained_weights` (saver.py:73-96 shape-filtered load)."""
+    s_ft = make_settings(
+        if_finetuning=True, config_option="frame2recon",
+        frozen_backbone=True,
+    )
+    _, sb_f, tx_f, state_f = make_state(s_ft, seed=seed + 200)
+    if from_state is not None:
+        d = str(tmp / f"{tag}_{seed}")
+        ckpt.save_model_only(d, jax.device_get(from_state.params),
+                             jax.device_get(from_state.batch_stats), epoch=0)
+        params, bstats = ckpt.load_pretrained_params(
+            f"{d}/epoch_0", state_f.params, state_f.batch_stats,
+            exclude_substrings=("linear_probe",),
+        )
+        state_f = state_f.replace(params=params, batch_stats=bstats,
+                                  opt_state=tx_f.init(params))
+    state_f, _ = train_steps(sb_f, state_f, labeled, n_steps,
+                             rng_seed=seed + 200)
+    return probe_miou(sb_f, state_f, val_ds)
+
+
+@pytest.mark.slow
+def test_pretrain_to_finetune_transfer(tmp_path):
+    """The pretrain -> finetune stage transfer (VERDICT r4 task 6b): NCE+PL
+    pretrained weights loaded through the real load_pretrained_params path
+    must beat an identically-budgeted finetune from scratch on held-out
+    mIoU — the reference's label-efficiency claim (README.md:404-409) in
+    its env-feasible form: 2 of 16 samples labeled (the reference's
+    skip_ratio scarcity) and the backbone frozen (its `frozen_backbone`
+    finetune variant), so the val mIoU depends on the transferred features.
+    Calibration note: with ALL weights trainable and ample labels, a
+    scratch init matches or beats the 72-step pretrained init at this
+    synthetic scale (measured: scratch 14.2 vs 12.2 mean) — the
+    label-efficiency effect the reference reports needs feature REUSE to
+    show up, which is exactly what this arm isolates.
+    """
+    train_ds = SyntheticESS(num_samples=16, height=H, width=W, num_classes=C,
+                            num_windows=T, superpixel_size=20, seed=3)
+    val_ds = SyntheticESS(num_samples=8, height=H, width=W, num_classes=C,
+                          num_windows=T, superpixel_size=20, seed=4)
+    labeled = _Subset(train_ds, range(2))
+
+    def _pretrain_recon(seed, n_pre):
+        s_pre = make_settings(
+            if_pretraining=True, config_option="frame2recon",
+            if_spatial_contrastive=True, if_dense_clip_supervision=True,
+        )
+        _, sb_pre, _, state_pre = make_state(s_pre, seed=seed)
+        state_pre, _ = train_steps(sb_pre, state_pre, train_ds, n_pre,
+                                   rng_seed=seed)
+        return state_pre
+
+    rows = []
+    for seed in (0, 1, 2):
+        st_pre = _pretrain_recon(seed, 72)
+        m_scratch = _finetune(labeled, val_ds, None, seed, "fs", tmp_path, 24)
+        m_pre = _finetune(labeled, val_ds, st_pre, seed, "fp", tmp_path, 24)
+        print(f"seed={seed}: frozen-bb finetune scratch={m_scratch:.2f} "
+              f"from-pretrain={m_pre:.2f}")
+        assert m_pre > m_scratch, ("per-seed scratch<pretrained", seed,
+                                   m_scratch, m_pre)
+        rows.append((m_scratch, m_pre))
+    mean = np.array(rows).mean(axis=0)
+    print(f"means: scratch={mean[0]:.2f} from-pretrain={mean[1]:.2f}")
+    assert mean[0] + 2.0 < mean[1], ("mean scratch<pretrained", mean)
+
+
+@pytest.mark.slow
+def test_uda_learns_without_event_labels(tmp_path):
+    """The ESS UDA workload (task 'openess', VERDICT r4 task 6c): training
+    on frames + pseudo-labels + cross-modal consistency — NEVER event GT —
+    must lift the event path's held-out mIoU well above random init, and
+    the supervised-only upper bound (same budget, GT labels) must sit above
+    random too; the UDA/sup gap is reported, not asserted (its size is a
+    property of the synthetic distribution, not of the implementation).
+
+    The asserted UDA arm runs WITHOUT the spatial-contrastive NCE term:
+    that term pulls event features toward the *frame branch's* features,
+    which the reference always warm-starts (ImageNet ``pretrained_backbone``
+    + stage-1 ``load_pretrained_weights``, base_trainer_ov.py:48) — from a
+    random frame branch at this synthetic scale it dominates the loss and
+    measurably degrades the event path (diagnostic: mIoU 7.1 -> 3.1 with
+    NCE at 240 steps vs 7.1 -> 15.9 without). The NCE-on branch's
+    mechanics (finite loss, gradient flow) are covered by
+    test_train_steps/test_wire_path.
+    """
+    train_ds = SyntheticESS(num_samples=16, height=H, width=W, num_classes=C,
+                            num_windows=T, superpixel_size=20, seed=3)
+    val_ds = SyntheticESS(num_samples=8, height=H, width=W, num_classes=C,
+                          num_windows=T, superpixel_size=20, seed=4)
+
+    rows = []
+    for seed in (0, 1, 2):
+        # UDA: all if_* flags off -> task 'openess' (train.py:36-50 order)
+        s_uda = make_settings(
+            config_option="frame2voxel", if_spatial_contrastive=False,
+        )
+        _, sb_u, _, state_u = make_state(s_uda, seed=seed)
+        m_rand = probe_miou(sb_u, state_u, val_ds)  # before any training
+        state_u, losses = train_steps(sb_u, state_u, train_ds, 120,
+                                      rng_seed=seed)
+        assert np.isfinite(float(losses["total_loss"]))
+        m_uda = probe_miou(sb_u, state_u, val_ds)
+
+        s_sup = make_settings(
+            if_supervised_only=True, config_option="frame2voxel",
+        )
+        _, sb_s, _, state_s = make_state(s_sup, seed=seed)
+        state_s, _ = train_steps(sb_s, state_s, train_ds, 60, rng_seed=seed)
+        m_sup = probe_miou(sb_s, state_s, val_ds)
+        print(f"seed={seed}: rand={m_rand:.2f} uda={m_uda:.2f} "
+              f"sup_only={m_sup:.2f}")
+        rows.append((m_rand, m_uda, m_sup))
+
+    mean = np.array(rows).mean(axis=0)
+    print(f"means: rand={mean[0]:.2f} uda={mean[1]:.2f} sup={mean[2]:.2f}")
+    assert mean[0] + 1.0 < mean[1], ("mean rand<uda", mean)
+    assert mean[0] + 1.0 < mean[2], ("mean rand<sup_only", mean)
