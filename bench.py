@@ -48,32 +48,43 @@ PEAK_BF16 = (
 # Snapshot of the most recent real-chip run of this script (see the
 # cpu_fallback path below). Update whenever a full on-chip bench completes.
 LAST_MEASURED_ON_CHIP = {
-    "measured_on": "TPU v5 lite via axon relay, 2026-08-19 (idle host)",
+    "measured_on": "TPU v5 lite via axon relay, 2026-08-20 (idle host)",
     "metric": "voxelize_throughput",
-    "value": 418200985.0,
+    "value": 406234666.0,
     "unit": "events/s",
-    "vs_baseline": 542.94,
-    "tpu_pallas_chunked_events_per_s": 418200985.0,
-    "pretrain_step_ms_b8": 515.6,
-    "device_samples_per_s": 15.52,
-    "pretrain_step_ms_b8_teacher_os8": 473.5,
-    "eval_fwd_ms_b8": 327.1,
-    "eval_samples_per_s": 24.46,
-    "train_flops_per_step": 34737272389632.0,
-    "mfu_pct": 34.2,
-    "streaming_window_ms": 32.2,
-    "streaming_windows_per_s": 31.1,
-    "streaming_realtime_margin_x": 1.55,
-    # two-phase C++ packer, ONE host thread, fresh-process timing (the
-    # in-process number through the axon relay is 2-3x worse from relay
-    # thread contention on this 1-core bench host)
-    "host_assembly_ms_b8": 277.5,
-    "host_chunk_pack_ms_b8": 277.5,
+    "vs_baseline": 669.91,
+    "tpu_pallas_chunked_events_per_s": 406234666.0,
+    "pretrain_step_ms_b8": 507.6,
+    "device_samples_per_s": 15.76,
+    "pretrain_step_ms_b8_teacher_os8": 473.4,
+    "eval_fwd_ms_b8": 326.2,
+    "eval_samples_per_s": 24.53,
+    "train_flops_per_step": 34710036676608.0,
+    "mfu_pct": 34.7,
+    "streaming_window_ms": 36.5,
+    "streaming_windows_per_s": 27.4,
+    "streaming_realtime_margin_x": 1.37,
+    # device-only per-window times by chained-step differencing (the fixed
+    # per-chain relay fetch floor cancels); window_ms - device_ms gives the
+    # measured ~29.7 ms relay floor this env adds per call
+    "streaming_device_ms_s1": 6.8,
+    "streaming_device_ms_s4": 39.3,
+    "streaming_device_ms_s8": 34.7,
+    "streaming_relay_floor_ms": 29.7,
+    "streaming_streams_at_20hz": 1,
+    "streaming_streams_at_20hz_device": 8,
+    # two-phase C++ packer, ONE host thread, v2 uint16-time wire, timed in
+    # a worker process BEFORE backend init (the only uncontended window on
+    # this 1-core bench host)
+    "host_assembly_ms_b8": 285.2,
+    "host_chunk_pack_ms_b8": 285.2,
     "host_threads": 1,
     "host_feeds_chip": True,
     "wire_format": "raw_events",
-    "pipeline_step_ms_b8_modeled_local_host": 515.6,
-    "pipeline_samples_per_s_modeled": 15.52,
+    "wire_t16": True,
+    "h2d_put_ms_b8": 3778.1,
+    "pipeline_step_ms_b8_modeled_local_host": 507.6,
+    "pipeline_samples_per_s_modeled": 15.76,
 }
 
 
