@@ -249,6 +249,30 @@ def chunk_events_batch(x, y, p, t, valid, *, height, width, chunk=CHUNK,
     return tuple(np.stack([o[i] for o in outs]) for i in range(7))
 
 
+def pad_wire_chunks(wire, nbc: int):
+    """Zero-pad a chunked wire's chunk axis (axis 1 of every ``[NW, nbc,
+    ...]`` array) up to ``nbc`` chunks, leaving per-window scalars
+    (``t_range``, ndim 1) untouched.
+
+    Padded chunks have ``counts == 0``, which the device kernels mask
+    exactly like a trimmed wire's zero-padded tail, so the voxelized result
+    is bit-identical. Streaming servers use this to PIN the wire shape
+    across windows: the bucketed trim sizes the chunk axis to each window's
+    density, and a shape change mid-stream forces a jit retrace that blows
+    any real-time budget (``tools/serve_stream.py``). No-op when the wire
+    already has ``>= nbc`` chunks.
+    """
+    have = wire[0].shape[1]
+    if have >= nbc:
+        return wire
+    pad = nbc - have
+    return tuple(
+        np.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2))
+        if a.ndim >= 2 else a
+        for a in wire
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernels
 # ---------------------------------------------------------------------------

@@ -12,6 +12,7 @@ from openess_tpu.ops.voxelize_chunked import (
     chunk_events_batch,
     chunk_events_window,
     num_chunks,
+    pad_wire_chunks,
     voxelize_chunked_bilinear_t,
     voxelize_chunked_trilinear,
 )
@@ -301,3 +302,35 @@ def test_chunked_trilinear_normalize(rng):
     nz = got[got != 0]
     assert abs(nz.mean()) < 1e-2
     assert abs(nz.std() - 1.0) < 5e-2
+
+
+def test_pad_wire_chunks_pins_shape_bit_identically(rng):
+    """Streaming wire-width pinning (tools/serve_stream.py): zero-padding a
+    trimmed wire's chunk axis must not change the voxelized grid at all —
+    padded chunks have counts == 0 and are masked exactly like a trimmed
+    wire's own zero tail."""
+    H, W, C, k = 64, 96, 5, 4000
+    x, y, p, t, valid = _events(rng, 1, k, H, W)
+    wire = chunk_events_batch(x, y, p, t, valid, height=H, width=W, t16=True)
+    nbc = wire[0].shape[1]
+
+    base = np.asarray(
+        voxelize_chunked_trilinear(
+            *wire, num_bins=C, height=H, width=W, interpret=True,
+        )
+    )
+    padded = pad_wire_chunks(wire, nbc + 3)
+    assert padded[0].shape[1] == nbc + 3
+    # per-window scalars (t_range, ndim 1) ride through untouched
+    assert padded[6].shape == wire[6].shape
+    assert np.all(padded[4][:, nbc:] == 0)  # counts of padded chunks
+    got = np.asarray(
+        voxelize_chunked_trilinear(
+            *padded, num_bins=C, height=H, width=W, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, base)
+
+    # no-op when the wire already has >= nbc chunks (same objects back)
+    same = pad_wire_chunks(wire, nbc)
+    assert same[0] is wire[0]

@@ -214,16 +214,10 @@ def main():
             xs, ys, ps, ts, va, height=sh, width=sw, n_threads=1,
             integer_coords=integer_coords, t16=s.wire_t16,
         )
-        nbc_w = wire[0].shape[1]
-        if nbc_w > pinned_nbc:
-            pinned_nbc = nbc_w
-        elif nbc_w < pinned_nbc:
-            pad = pinned_nbc - nbc_w
-            wire = tuple(
-                np.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2))
-                if a.ndim >= 2 else a
-                for a in wire
-            )
+        from openess_tpu.ops.voxelize_chunked import pad_wire_chunks
+
+        pinned_nbc = max(pinned_nbc, wire[0].shape[1])
+        wire = pad_wire_chunks(wire, pinned_nbc)
         t1 = time.perf_counter()
         dev = {
             k: jax.device_put(v)
